@@ -1,0 +1,240 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.JsonNode
+import graft.operators.Chunker
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import scala.jdk.CollectionConverters._
+
+/** The chunked, offset-keyed change journal — the Spark-native port of the
+  * reference sink's storage trio (SURVEY.md §1.3):
+  *
+  *   - data file per (partition, append): `data/part-{p:05d}-{firstOffset:012d}.parquet`
+  *     ↔ `{topic}-{partition:05d}-{firstOffset:012d}.gz`
+  *     (BlockGZIPFileWriter.java:161-163; zero-padded fixed width so
+  *     lexicographic = numeric order, load-bearing in the reference's
+  *     resume skip, S3FilesReader.java:167)
+  *   - manifest JSON with per-file ChunkDescriptor lists
+  *     ↔ `…index.json` (BlockGZIPFileWriter.java:242-250)
+  *   - `snapshot.json` pointer, atomically swapped
+  *     ↔ `last_chunk_index.{topic}-{partition}.txt` cursor (S3Writer.java:138-153)
+  *
+  * Exactly-once story, identical to the reference's: file names derive only
+  * from (partition, firstOffset) — never wall clock (fixing the reference's
+  * date-prefix nondeterminism, S3Writer.java:129-136) — so a retried batch
+  * overwrites the same files with the same bytes instead of appending, and
+  * the snapshot pointer is the single source of truth.
+  */
+final class ChangeJournal(
+    val root: String,
+    spark: SparkSession,
+    val chunkBytes: Long = 64L * 1024 * 1024) {
+
+  private val io = new TableIO(root, spark)
+
+  // ---- snapshot / manifest ---------------------------------------------
+
+  /** committed batch id, or -1 for a fresh table */
+  def lastBatchId: Long = io.readSnapshot().map(_.get("batchId").asLong).getOrElse(-1L)
+
+  private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
+    Json.parse(io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+  }
+
+  /** Per-partition next offset to write — the port of S3Writer.fetchOffset
+    * (S3Writer.java:83-127): last chunk's `first_record_offset + num_records`;
+    * missing table ⇒ empty map ⇒ 0 everywhere (the 404 case, :101-107).
+    */
+  def nextOffsets(): Map[Int, Long] = manifest() match {
+    case None => Map.empty
+    case Some(m) =>
+      m.get("partitions").fields().asScala
+        .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
+  }
+
+  /** Per-partition cumulative uncompressed bytes (chunk ids continue across
+    * appends, like the reference's per-file byte_offset continuation).
+    */
+  private def byteBases(): Map[Int, Long] = manifest() match {
+    case None => Map.empty
+    case Some(m) =>
+      m.get("partitions").fields().asScala
+        .map(e => e.getKey.toInt -> e.getValue.get("bytesTotal").asLong).toMap
+  }
+
+  private def liveFiles(): Seq[JsonNode] =
+    manifest().map(_.get("files").elements().asScala.toSeq).getOrElse(Seq.empty)
+
+  // ---- append (the sink) ------------------------------------------------
+
+  /** Append one batch of change events. Idempotent per `batchId` (epoch
+    * fencing: a batch id at or below the committed one is a replay and is
+    * skipped — the foreachBatch analogue of Connect redelivering after a
+    * RetriableException, S3SinkTask.java:222-224). Rows at offsets already
+    * journaled are dropped (at-least-once dedup, the monotonic gate of
+    * S3SourceTask.updateOffsets:198-207).
+    *
+    * Returns the number of rows appended.
+    */
+  def append(batch: DataFrame, batchId: Long): Long = {
+    val committed = lastBatchId
+    if (batchId <= committed) return 0L // fenced replay: already durable
+
+    val next = nextOffsets()
+    val bases = byteBases()
+    val parts = batch.sparkSession.createDataFrame(
+      next.toSeq.map { case (p, o) => (p, o) })
+      .toDF("partition", "_next")
+
+    // offset-skip gate (P2): drop rows the journal already has
+    val fresh0 = batch.join(broadcast(parts), Seq("partition"), "left")
+      .filter(col("_next").isNull || col("offset") >= col("_next"))
+
+    // deterministic chunk assignment; chunks restart per file (= per append
+    // per partition), exactly like the reference where every flushed .gz file
+    // carries its own chunk list starting at byte 0 (BlockGZIPFileWriter is
+    // created anew per PartitionWriter, S3SinkTask.java:173-178)
+    val fresh = Chunker.assignChunks(fresh0.drop("_next"), chunkBytes)
+
+    // per-file (= per partition per append) and per-chunk stats, one pass
+    val chunkStats = fresh.groupBy(col("partition"), col("chunk_id")).agg(
+      min(col("offset")).as("first_record_offset"),
+      count(lit(1)).as("num_records"),
+      max(col("offset")).as("max_offset"),
+      sum(col("bytes_uncompressed")).as("byte_length_uncompressed"))
+      .collect()
+    if (chunkStats.isEmpty) { commitManifest(liveFiles(), next, bases, batchId); return 0L }
+
+    // journal stores exactly the batch's schema (schema-flexible: evolved
+    // payload columns flow straight through; only the meta trio is required)
+    val required = Seq("partition", "offset", "op")
+    require(required.forall(batch.columns.contains),
+      s"change batch must carry ${required.mkString(",")}; got ${batch.columns.mkString(",")}")
+    val dataCols = batch.columns.toSeq
+    val staging = new Path(io.rootPath, s"_staging/append-$batchId")
+    io.fs.delete(staging, true)
+    // `_p` duplicates `partition` for the directory layout only: partitionBy
+    // strips its column from file contents, and promoted files must stay
+    // self-contained (the manifest, not the path, is the source of truth)
+    fresh
+      .repartition(col("partition"))
+      .sortWithinPartitions(col("partition"), col("offset"))
+      .select((dataCols.map(col) :+ col("partition").as("_p")).toIndexedSeq: _*)
+      .write.mode("overwrite").partitionBy("_p").parquet(staging.toString)
+
+    // promote each partition's single part file to its offset-keyed name
+    val byPartition = chunkStats.groupBy(_.getInt(0))
+    var appended = 0L
+    val newFiles = byPartition.toSeq.sortBy(_._1).map { case (p, chunks) =>
+      val sorted = chunks.sortBy(_.getLong(1))
+      val firstOffset = sorted.map(_.getLong(2)).min
+      val rel = f"data/part-$p%05d-$firstOffset%012d.parquet"
+      io.promoteSingleFile(new Path(staging, s"_p=$p"), new Path(io.rootPath, rel))
+      val fileNode = Json.obj()
+      fileNode.put("partition", p)
+      fileNode.put("path", rel)
+      fileNode.put("first_record_offset", firstOffset)
+      fileNode.put("num_records", sorted.map(_.getLong(3)).sum)
+      fileNode.put("max_offset", sorted.map(_.getLong(4)).max)
+      val arr = fileNode.putArray("chunks")
+      var byteOffset = 0L // chunks tile the file's byte space from 0
+      sorted.foreach { r =>
+        val c = Json.obj()
+        c.put("first_record_offset", r.getLong(2))
+        c.put("num_records", r.getLong(3))
+        c.put("byte_offset", byteOffset)
+        c.put("byte_length_uncompressed", r.getLong(5))
+        byteOffset += r.getLong(5)
+        arr.add(c)
+      }
+      appended += sorted.map(_.getLong(3)).sum
+      fileNode
+    }
+    io.fs.delete(staging, true)
+    io.fs.delete(new Path(io.rootPath, "_staging"), true)
+
+    val newNext = next ++ byPartition.map { case (p, chunks) =>
+      p -> (chunks.map(_.getLong(4)).max + 1L)
+    }
+    val newBases = bases ++ byPartition.map { case (p, chunks) =>
+      p -> (bases.getOrElse(p, 0L) + chunks.map(_.getLong(5)).sum)
+    }
+    commitManifest(liveFiles() ++ newFiles, newNext, newBases, batchId)
+    appended
+  }
+
+  private def commitManifest(
+      files: Seq[JsonNode], next: Map[Int, Long], bases: Map[Int, Long],
+      batchId: Long): Unit = {
+    val version = io.readSnapshot().map(_.get("version").asLong + 1).getOrElse(0L)
+    val m = Json.obj()
+    m.put("version", version)
+    m.put("batchId", batchId)
+    val pn = m.putObject("partitions")
+    next.keySet.union(bases.keySet).toSeq.sorted.foreach { p =>
+      val o = pn.putObject(p.toString)
+      o.put("nextOffset", next.getOrElse(p, 0L))
+      o.put("bytesTotal", bases.getOrElse(p, 0L))
+    }
+    val fa = m.putArray("files")
+    files.foreach(fa.add)
+    val manifestRel = f"manifest-$version%012d.json"
+    io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
+    val snap = Json.obj()
+    snap.put("version", version)
+    snap.put("manifest", manifestRel)
+    snap.put("batchId", batchId)
+    io.swapSnapshot(Json.write(snap))
+  }
+
+  // ---- read / replay (the source) ---------------------------------------
+
+  /** Read the whole journal in (partition, offset) order-independent form.
+    * Callers order explicitly — Spark must never rely on listing order
+    * (the reference leans on S3 lexicographic listing, S3FilesReader.java:54-59;
+    * we make ordering a declared property of the plan instead).
+    */
+  def read(): DataFrame = readFrom(Map.empty)
+
+  /** Resume read: everything after `committed` (exclusive) per partition.
+    * File-level pruning via manifest max_offset replaces the reference's
+    * skip-whole-files-behind-the-cursor (S3FilesReader.java:164-171); the
+    * residual row filter replaces its in-file record-skip loop (:256-260) —
+    * parquet row-group stats prune the rest.
+    */
+  def readFrom(committed: Map[Int, Long]): DataFrame = {
+    val files = liveFiles().filter { f =>
+      committed.get(f.get("partition").asInt)
+        .forall(c => f.get("max_offset").asLong > c)
+    }
+    if (files.isEmpty)
+      return spark.emptyDataFrame // no schema consumers: guarded by callers
+    val pathsAbs = files.map(f => new Path(io.rootPath, f.get("path").asText).toString)
+    // mergeSchema: appends may add payload columns over time (additive only;
+    // type widening is the lake table's job, which tracks schema versions)
+    val df = spark.read.option("mergeSchema", "true").parquet(pathsAbs: _*)
+    if (committed.isEmpty) df
+    else {
+      val cm = spark.createDataFrame(committed.toSeq).toDF("partition", "_committed")
+      df.join(broadcast(cm), Seq("partition"), "left")
+        .filter(col("_committed").isNull || col("offset") > col("_committed"))
+        .drop("_committed")
+    }
+  }
+
+  /** Manifest chunk descriptors as a DataFrame (for tests and metrics). */
+  def chunkIndex(): DataFrame = {
+    val rows = for {
+      f <- liveFiles()
+      c <- f.get("chunks").elements().asScala.toSeq
+    } yield (f.get("partition").asInt, f.get("path").asText,
+      c.get("first_record_offset").asLong, c.get("num_records").asLong,
+      c.get("byte_offset").asLong, c.get("byte_length_uncompressed").asLong)
+    spark.createDataFrame(rows).toDF(
+      "partition", "path", "first_record_offset", "num_records",
+      "byte_offset", "byte_length_uncompressed")
+  }
+}

@@ -1,0 +1,297 @@
+package graft.lake
+
+import com.fasterxml.jackson.databind.JsonNode
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DataType, StructType}
+
+import scala.jdk.CollectionConverters._
+
+/** The merged lake table: live state per (repo, path), maintained by
+  * copy-on-write MERGE of change-event batches. An Iceberg-style table built
+  * from scratch (no Iceberg runtime in this sandbox — SURVEY.md §7): parquet
+  * data files + JSON manifest + atomically swapped snapshot pointer, which is
+  * exactly the reference's data+index+cursor trio generalized (SURVEY.md §1.3).
+  *
+  * File granularity = (partition, subBucket): each state file holds the keys
+  * with `pmod(xxhash64(repo, path), subBuckets)` in one bucket of one shuffle
+  * partition. A MERGE rewrites only the buckets the batch touches — at
+  * 10^10-event scale a batch touching 0.1% of keys rewrites ~0.1% of buckets,
+  * not the whole table. Bucket count is the rewrite-amplification knob.
+  *
+  * Exactly-once: commits are fenced by batchId (replayed epochs are skipped),
+  * per-partition offset watermarks dedup at-least-once redelivery, and file
+  * names derive only from (partition, subBucket, batchId), so a retried batch
+  * rewrites identical paths with identical bytes (the reference's offset-named
+  * S3 key idempotence, BlockGZIPFileWriter.java:161-163).
+  *
+  * Schema evolution: the snapshot carries every schema version; incoming
+  * batches merge their schema in (add / widen via [[SchemaEvolution]]) and old
+  * files are read under their recorded schema id then aligned — no file
+  * rewrite on evolution.
+  */
+final class LakeTable(
+    val root: String,
+    spark: SparkSession,
+    val subBuckets: Int = 16) {
+
+  private val io = new TableIO(root, spark)
+
+  /** columns that are engine metadata, not user payload */
+  private val metaCols = Seq("partition", "offset", "_sub")
+
+  def lastBatchId: Long = io.readSnapshot().map(_.get("batchId").asLong).getOrElse(-1L)
+
+  private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
+    Json.parse(io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+  }
+
+  /** Per-partition max applied offset (the dedup gate / resume point). */
+  def watermarks(): Map[Int, Long] = manifest() match {
+    case None => Map.empty
+    case Some(m) => m.get("watermarks").fields().asScala
+      .map(e => e.getKey.toInt -> e.getValue.asLong).toMap
+  }
+
+  /** All schema versions ever committed; last is current. */
+  private def schemas(): IndexedSeq[StructType] = manifest() match {
+    case None => IndexedSeq.empty
+    case Some(m) => m.get("schemas").elements().asScala
+      .map(n => DataType.fromJson(n.asText).asInstanceOf[StructType]).toIndexedSeq
+  }
+
+  def currentSchema: Option[StructType] = schemas().lastOption
+
+  private case class FileEntry(partition: Int, sub: Int, path: String,
+      schemaId: Int, numRecords: Long)
+
+  private def liveFiles(): Seq[FileEntry] = manifest() match {
+    case None => Seq.empty
+    case Some(m) => m.get("files").elements().asScala.map { f =>
+      FileEntry(f.get("partition").asInt, f.get("sub").asInt,
+        f.get("path").asText, f.get("schemaId").asInt, f.get("num_records").asLong)
+    }.toSeq
+  }
+
+  // ---- read ---------------------------------------------------------------
+
+  /** Current table state under the current (evolved) schema. Old files are
+    * read per recorded schema version and aligned (missing columns null,
+    * widened casts) — Catalyst sees plain unions of parquet scans.
+    */
+  def read(): DataFrame = readFiles(liveFiles())
+
+  /** Physical file schema = (partition, offset) provenance + that file's
+    * payload schema version.
+    */
+  private def fileSchema(payload: StructType): StructType = StructType(
+    Seq(org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType, nullable = false)) ++ payload.fields)
+
+  private def readFiles(files: Seq[FileEntry]): DataFrame = {
+    val ss = schemas()
+    val target = ss.lastOption.getOrElse(
+      throw new IllegalStateException(s"empty lake table at $root"))
+    val groups = files.groupBy(_.schemaId)
+    if (groups.isEmpty) {
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], fileSchema(target))
+    }
+    groups.toSeq.sortBy(_._1).map { case (sid, fs) =>
+      val paths = fs.map(f => new Path(io.rootPath, f.path).toString)
+      val raw = spark.read.schema(fileSchema(ss(sid))).parquet(paths: _*)
+      SchemaEvolution.align(raw, fileSchema(target))
+    }.reduce(_.unionByName(_))
+  }
+
+  // ---- merge (the MERGE INTO) ----------------------------------------------
+
+  /** Apply one batch of change events (ChangeEvent columns + any evolved
+    * payload columns). Returns rows applied after dedup, or -1 if the epoch
+    * was fenced off as a replay.
+    */
+  def merge(batch: DataFrame, batchId: Long): Long = {
+    if (batchId <= lastBatchId) return -1L // epoch fence: replayed batch
+
+    val wm = watermarks()
+    val deduped = if (wm.isEmpty) batch else {
+      val wmDf = spark.createDataFrame(wm.toSeq).toDF("partition", "_wm")
+      batch.join(broadcast(wmDf), Seq("partition"), "left")
+        .filter(col("_wm").isNull || col("offset") > col("_wm"))
+        .drop("_wm")
+    }
+
+    // schema evolution: merge incoming payload schema into the lake schema
+    val incomingSchema = StructType(
+      deduped.schema.fields.filterNot(f => metaCols.contains(f.name) || f.name == "op"))
+    val oldSchemas = schemas()
+    val target = oldSchemas.lastOption
+      .map(cur => SchemaEvolution.merge(cur, incomingSchema))
+      .getOrElse(incomingSchema)
+    val newSchemas =
+      if (oldSchemas.lastOption.contains(target)) oldSchemas
+      else oldSchemas :+ target
+    val schemaId = newSchemas.size - 1
+
+    // within-batch last-writer-wins: one surviving version per key BEFORE the
+    // join, so each key meets the state exactly once. Done as a hash
+    // aggregate (max_by), NOT a window: partial aggregation combines map-side,
+    // so a hot repo collapses to one row per task before the shuffle — the
+    // skew defence the north star's salting is about, with Catalyst doing the
+    // salting implicitly (SURVEY.md §7 "What's hard"/skew).
+    val inCols = deduped.columns
+    val reduced = deduped
+      .groupBy(col("repo"), col("path"))
+      .agg(max_by(struct(inCols.map(col).toIndexedSeq: _*), col("offset")).as("_s"))
+      .select(col("_s.*"))
+      .withColumn("_sub", pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int"))
+
+    // stats BEFORE filtering deletes: watermarks must advance over deletes too
+    val statRows = deduped.groupBy(col("partition")).agg(
+      max(col("offset")).as("maxOff"), min(col("offset")).as("minOff"),
+      count(lit(1)).as("n"),
+      sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("nUp"))
+      .collect()
+    if (statRows.isEmpty) { commit(liveFiles(), wm, newSchemas, batchId, Nil); return 0L }
+
+    val touched: Set[(Int, Int)] = reduced.select(col("partition"), col("_sub"))
+      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+
+    val files = liveFiles()
+    val (touchedFiles, untouchedFiles) =
+      files.partition(f => touched.contains((f.partition, f.sub)))
+
+    // current state of touched buckets only (file-level pruning: untouched
+    // buckets never leave disk; a file IS one bucket, so reading the touched
+    // files is exactly reading the touched buckets)
+    val state = if (touchedFiles.isEmpty) None else Some(
+      readFiles(touchedFiles)
+        .withColumn("_sub",
+          pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int")))
+
+    // MERGE: new versions win over state rows for the same key; deletes drop
+    def shape(df: DataFrame): DataFrame = {
+      // one select: meta columns + payload aligned to the target schema
+      val have = df.columns.toSet
+      df.select(
+        (Seq(col("partition"), col("_sub"), col("offset"),
+          (if (have.contains("op")) col("op") else lit("upsert")).as("op")) ++
+          target.fields.toSeq.map { f =>
+            if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
+            else lit(null).cast(f.dataType).as(f.name)
+          }): _*)
+    }
+    val newShaped = shape(reduced)
+    val merged0 = state match {
+      case None => newShaped
+      case Some(st) =>
+        val stShaped = shape(st.withColumn("op", lit("upsert")))
+        // prefer the batch's version: row_number over (key) ordered by
+        // provenance (batch first), offset desc
+        val unioned = stShaped.withColumn("_new", lit(0))
+          .unionByName(newShaped.withColumn("_new", lit(1)))
+        val w = Window.partitionBy(col("repo"), col("path"))
+          .orderBy(col("_new").desc, col("offset").desc)
+        unioned.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn", "_new")
+    }
+    val survivors = merged0.filter(col("op") === "upsert").drop("op")
+
+    // rewrite each touched bucket as exactly one deterministically named file;
+    // `_pp`/`_ss` duplicate the keys for the directory layout only (files stay
+    // self-contained — partitionBy strips its columns from file contents)
+    val staging = new Path(io.rootPath, s"_staging/merge-$batchId")
+    io.fs.delete(staging, true)
+    survivors
+      .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
+      .repartition(col("partition"), col("_sub"))
+      .sortWithinPartitions(col("repo"), col("path"))
+      .drop("_sub")
+      .write.mode("overwrite").partitionBy("_pp", "_ss")
+      .parquet(staging.toString)
+
+    val counts = survivors.groupBy(col("partition"), col("_sub"))
+      .agg(count(lit(1)).as("n")).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+
+    val newEntries = touched.toSeq.sorted.flatMap { case (p, s) =>
+      val srcDir = new Path(staging, s"_pp=$p/_ss=$s")
+      if (!io.fs.exists(srcDir)) None // bucket emptied by deletes
+      else {
+        val rel = f"data/part-$p%05d-s$s%04d-b$batchId%012d.parquet"
+        io.promoteSingleFile(srcDir, new Path(io.rootPath, rel))
+        Some(FileEntry(p, s, rel, schemaId, counts.getOrElse((p, s), 0L)))
+      }
+    }
+    io.fs.delete(staging, true)
+    io.fs.delete(new Path(io.rootPath, "_staging"), true)
+
+    val newWm = wm ++ statRows.map(r => r.getInt(0) -> r.getLong(1))
+    val lineage = statRows.map { r =>
+      graft.model.LineageRow(batchId, r.getInt(0), r.getLong(2), r.getLong(1),
+        r.getLong(3), r.getLong(4), r.getLong(3) - r.getLong(4))
+    }.toSeq
+    commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage)
+    // superseded files stay on disk unreferenced (GC-able), exactly like the
+    // reference's orphaned uploads after a crash (SURVEY.md §4)
+    statRows.map(_.getLong(3)).sum
+  }
+
+  private def commit(files: Seq[FileEntry], wm: Map[Int, Long],
+      schemaVersions: IndexedSeq[StructType], batchId: Long,
+      lineage: Seq[graft.model.LineageRow]): Unit = {
+    val version = io.readSnapshot().map(_.get("version").asLong + 1).getOrElse(0L)
+    val m = Json.obj()
+    m.put("version", version)
+    m.put("batchId", batchId)
+    val wmNode = m.putObject("watermarks")
+    wm.toSeq.sortBy(_._1).foreach { case (p, o) => wmNode.put(p.toString, o) }
+    val sArr = m.putArray("schemas")
+    schemaVersions.foreach(s => sArr.add(s.json))
+    val fa = m.putArray("files")
+    files.sortBy(f => (f.partition, f.sub)).foreach { f =>
+      val n = Json.obj()
+      n.put("partition", f.partition); n.put("sub", f.sub)
+      n.put("path", f.path); n.put("schemaId", f.schemaId)
+      n.put("num_records", f.numRecords)
+      fa.add(n)
+    }
+    val la = m.putArray("lineage")
+    lineage.foreach { l =>
+      val n = Json.obj()
+      n.put("batchId", l.batchId); n.put("partition", l.partition)
+      n.put("firstOffset", l.firstOffset); n.put("lastOffset", l.lastOffset)
+      n.put("numEvents", l.numEvents); n.put("numUpserts", l.numUpserts)
+      n.put("numDeletes", l.numDeletes)
+      la.add(n)
+    }
+    val manifestRel = f"manifest-$version%012d.json"
+    io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
+    val snap = Json.obj()
+    snap.put("version", version)
+    snap.put("manifest", manifestRel)
+    snap.put("batchId", batchId)
+    io.swapSnapshot(Json.write(snap))
+  }
+
+  /** Per-batch per-partition lineage across all manifests (audit trail). */
+  def lineage(): DataFrame = {
+    val io2 = io
+    val rows = (0L to io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L))
+      .flatMap { v =>
+        val p = new Path(io2.rootPath, f"manifest-$v%012d.json")
+        if (!io2.fs.exists(p)) Nil
+        else Json.parse(io2.readString(p)).get("lineage").elements().asScala.map { l =>
+          graft.model.LineageRow(l.get("batchId").asLong, l.get("partition").asInt,
+            l.get("firstOffset").asLong, l.get("lastOffset").asLong,
+            l.get("numEvents").asLong, l.get("numUpserts").asLong,
+            l.get("numDeletes").asLong)
+        }
+      }
+    spark.createDataFrame(rows)
+  }
+}

@@ -1,0 +1,81 @@
+package graft.lake
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+import java.nio.charset.StandardCharsets
+
+/** Filesystem plumbing shared by the journal and the lake table: snapshot
+  * pointer swap + manifest read/write, via the Hadoop FileSystem API so the
+  * same code runs on local disk here and on HDFS/S3A on a real cluster.
+  *
+  * This is the generalization of the reference's publish protocol
+  * (sink/.../S3Writer.java:61-81: upload data, then index, then overwrite the
+  * `last_chunk_index.{topic}-{partition}.txt` cursor; readers trust only the
+  * cursor). Our cursor is `snapshot.json`, swapped by atomic rename; data and
+  * manifest files that lost a race are unreferenced garbage, exactly like the
+  * reference's orphaned uploads (SURVEY.md §4 caveat).
+  */
+final class TableIO(val root: String, spark: SparkSession) {
+  private val conf = spark.sparkContext.hadoopConfiguration
+  val rootPath = new Path(root)
+  val fs: FileSystem = rootPath.getFileSystem(conf)
+
+  def snapshotPath = new Path(rootPath, "snapshot.json")
+
+  def readString(p: Path): String = {
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  def writeString(p: Path, s: String): Unit = {
+    fs.mkdirs(p.getParent)
+    val out = fs.create(p, true)
+    try out.write(s.getBytes(StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Atomic-ish pointer swap: write tmp, rename over. On HDFS rename is
+    * atomic; on S3A one would use a conditional PUT / catalog — the contract
+    * (readers only ever see a complete snapshot) is the same as the
+    * reference's cursor overwrite (S3Writer.java:142-153).
+    */
+  def swapSnapshot(json: String): Unit = {
+    val tmp = new Path(rootPath, s"snapshot.json.tmp")
+    writeString(tmp, json)
+    fs.delete(snapshotPath, false)
+    if (!fs.rename(tmp, snapshotPath))
+      throw new java.io.IOException(s"snapshot swap failed at $snapshotPath")
+  }
+
+  /** Current snapshot, or None for a brand-new table — the 404 ⇒ offset 0
+    * case (S3Writer.java:101-107).
+    */
+  def readSnapshot(): Option[com.fasterxml.jackson.databind.JsonNode] =
+    if (fs.exists(snapshotPath)) Some(Json.parse(readString(snapshotPath))) else None
+
+  def delete(rel: String): Unit = fs.delete(new Path(rootPath, rel), true)
+
+  def exists(rel: String): Boolean = fs.exists(new Path(rootPath, rel))
+
+  /** Move the single parquet part-file Spark wrote under `srcDir` to the
+    * deterministic, offset-keyed destination name. Deterministic names are
+    * load-bearing: re-running a batch overwrites the same keys instead of
+    * appending, which is the reference's whole dedup story
+    * (offset-named S3 keys, BlockGZIPFileWriter.java:161-163).
+    */
+  def promoteSingleFile(srcDir: Path, dest: Path): Unit = {
+    val parts = fs.listStatus(srcDir).filter(_.getPath.getName.startsWith("part-"))
+    require(parts.length == 1,
+      s"expected exactly one part file in $srcDir, got ${parts.length}")
+    fs.mkdirs(dest.getParent)
+    fs.delete(dest, false)
+    if (!fs.rename(parts.head.getPath, dest))
+      throw new java.io.IOException(s"rename ${parts.head.getPath} -> $dest failed")
+  }
+}

@@ -1,0 +1,88 @@
+package graft.pipeline
+
+import graft.lake.{ChangeJournal, LakeTable}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** The CDC ingest pipeline: change-event stream → journal append (chunked,
+  * offset-keyed) → MERGE into the lake table, inside one epoch-fenced
+  * `foreachBatch` commit — the Structured Streaming re-expression of the
+  * reference's put()/flush() cycle (sink/.../S3SinkTask.java:106-134):
+  *
+  *   put() buffering            → micro-batch accumulation
+  *   flush(offsets)             → foreachBatch(batchDF, batchId)
+  *   Connect offset commit      → checkpointLocation commit log
+  *   RetriableException redeliver → Spark batch retry, safe because both the
+  *     journal append and the lake merge are idempotent per batchId
+  *
+  * Crash between the two commits inside a batch is safe: the journal commits
+  * first; on replay the journal skips (fenced) and the merge either applies
+  * (if it hadn't) or skips. Both fence on the same batchId, so the pair is
+  * effectively atomic under at-least-once redelivery.
+  */
+final class CdcPipeline(
+    spark: SparkSession,
+    journalRoot: String,
+    lakeRoot: String,
+    chunkBytes: Long = 64L * 1024 * 1024,
+    subBuckets: Int = 16,
+    journalEnabled: Boolean = true) {
+
+  val journal = new ChangeJournal(journalRoot, spark, chunkBytes)
+  val lake = new LakeTable(lakeRoot, spark, subBuckets)
+
+  /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId. */
+  def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    if (journalEnabled) journal.append(batch, batchId)
+    lake.merge(batch, batchId)
+  }
+
+  /** Batch-mode driver for tests and bench: split a static, deterministic
+    * change log into `nBatches` micro-batches by offset range and apply them
+    * in order. `crashAfter` simulates a kill between batches (the ported
+    * restart test, system_test/run.py:224-257): processing stops after that
+    * batch id; re-running with the same args resumes — already-applied
+    * batches are fenced no-ops, which is exactly the exactly-once claim.
+    */
+  def runBatches(
+      changes: DataFrame,
+      nBatches: Int,
+      crashAfter: Option[Long] = None,
+      replayFrom: Long = 0L): Unit = {
+    require(nBatches > 0)
+    val bounds = changes.groupBy().agg(
+      min(col("offset")).as("lo"), max(col("offset")).as("hi")).collect()(0)
+    if (bounds.isNullAt(0)) return
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val span = math.max(1L, (hi - lo + 1 + nBatches - 1) / nBatches)
+    var b = replayFrom
+    var stopped = false
+    while (b < nBatches && !stopped) {
+      val (a, z) = (lo + b * span, lo + (b + 1) * span)
+      applyBatch(changes.filter(col("offset") >= a && col("offset") < z), b)
+      stopped = crashAfter.exists(b >= _) // simulated kill between batches
+      b += 1
+    }
+  }
+
+  /** Streaming mode: tail a parquet directory of change events (the in-prod
+    * analogue is format("kafka")) and ingest via foreachBatch. Caller owns
+    * query lifecycle; use `processAllAvailable()` in tests.
+    */
+  def stream(sourceDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 10): StreamingQuery = {
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+      .writeStream
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(batch, batchId)
+      }
+      .start()
+  }
+}

@@ -1,0 +1,156 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Relational analytics over the TPC-H-ish tables — the generic scan /
+  * filter / aggregate / join / window / top-k surface, written the way the
+  * plans should look at 100 TB: filters and projections pushed to the
+  * parquet scan, dimension joins broadcast, doubles aggregated as exact
+  * decimals (order-independent, so the DuckDB cross-check can't be broken by
+  * summation order), top-k fully tie-broken.
+  */
+object AnalyticsQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  /** exact money: double -> decimal(18,6) before any aggregation */
+  private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // TPC-H Q1 shape: scan + pushed filter + hash aggregate
+    "ana_pricing_summary" -> { (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum(dec(col("l_quantity"))).as("sum_qty"),
+          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
+          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
+            .as("sum_disc_price"),
+          count(lit(1)).as("count_order"))
+    },
+
+    // star join: fact ⋈ broadcast dims, revenue per region
+    "ana_region_revenue" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val region = t(s, dir, "region")
+      orders
+        .join(customer, orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n_orders"))
+    },
+
+    // top-k with full tiebreak (rank, then key) — never a bare LIMIT
+    "ana_top_customers" -> { (s, dir) =>
+      val byCust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(dec(col("o_totalprice"))).as("total"), count(lit(1)).as("n_orders"))
+      val w = Window.orderBy(col("total").desc, col("o_custkey"))
+      byCust.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("rank"), col("o_custkey"), col("total"),
+          col("n_orders"))
+    },
+
+    // explicit two-phase salted aggregation (hot-key defence made visible;
+    // result provably equals the plain groupBy the oracle runs)
+    "ana_salted_agg" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val salted = ev.withColumn("_salt", pmod(col("event_id"), lit(8L)))
+        .groupBy(col("user_id"), col("_salt"))
+        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+      salted.groupBy(col("user_id"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).as("total_value"))
+    },
+
+    // sessionization: event-time gaps > 30 min start a new session (lag window)
+    "ana_sessionize" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev.withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_session",
+          when(col("prev_ts").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev_ts"))) > 1800, 1L)
+            .otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
+    },
+
+    // anti/semi join surface: customers with and without orders
+    "ana_customer_activity" -> { (s, dir) =>
+      val customer = t(s, dir, "customer")
+      val orders = t(s, dir, "orders")
+      val active = customer.join(orders, customer("c_custkey") === orders("o_custkey"),
+        "left_semi").select(lit("active").as("status"), col("c_custkey"))
+      val inactive = customer.join(orders, customer("c_custkey") === orders("o_custkey"),
+        "left_anti").select(lit("inactive").as("status"), col("c_custkey"))
+      active.unionAll(inactive).groupBy(col("status"))
+        .agg(count(lit(1)).as("n"), min(col("c_custkey")).as("min_key"),
+          max(col("c_custkey")).as("max_key"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "ana_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
+        |       sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY 1, 2""".stripMargin,
+
+    "ana_region_revenue" ->
+      """SELECT r_name,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue,
+        |       count(*) AS n_orders
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1""".stripMargin,
+
+    "ana_top_customers" ->
+      """SELECT row_number() OVER (ORDER BY total DESC, o_custkey) AS rank,
+        |       o_custkey, total, n_orders
+        |FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS total,
+        |             count(*) AS n_orders
+        |      FROM orders GROUP BY 1) t
+        |QUALIFY rank <= 10""".stripMargin,
+
+    "ana_salted_agg" ->
+      """SELECT user_id, count(*) AS n,
+        |       sum(CAST(value AS DECIMAL(18,6))) AS total_value
+        |FROM events GROUP BY 1""".stripMargin,
+
+    "ana_sessionize" ->
+      """WITH g AS (
+        |  SELECT user_id, ts,
+        |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |  FROM events
+        |)
+        |SELECT user_id,
+        |       CAST(sum(CASE WHEN prev_ts IS NULL
+        |                      OR date_diff('second', prev_ts, ts) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+        |       count(*) AS n_events
+        |FROM g GROUP BY 1""".stripMargin,
+
+    "ana_customer_activity" ->
+      """WITH s AS (
+        |  SELECT CASE WHEN EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |              THEN 'active' ELSE 'inactive' END AS status, c_custkey
+        |  FROM customer
+        |)
+        |SELECT status, count(*) AS n, min(c_custkey) AS min_key, max(c_custkey) AS max_key
+        |FROM s GROUP BY 1""".stripMargin
+  )
+}

@@ -1,0 +1,275 @@
+package graft.queries
+
+import graft.functions.Portable
+import graft.operators.Chunker
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** SURVEY.md §2 operators expressed as DuckDB-checkable queries over the
+  * driver's testdata tables. The CDC change-log view is derived portably
+  * (md5-based partitioning, no Spark-specific hashes) from the `events`
+  * table, so DuckDB recomputes the identical log:
+  *
+  *   partition = md5bucket(user_id) % 4     (↔ TopicPartition)
+  *   offset    = event_id                   (monotonic per partition)
+  *   op        = delete iff event_type = 'error'
+  *   key       = (repo, path) from user_id
+  *   content   = props
+  */
+object CdcQueries {
+
+  /** The portable change-log view (Spark side). */
+  def changes(spark: SparkSession, dir: String): DataFrame = {
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+    ev.select(
+      pmod(Portable.md5Long(col("user_id").cast("string")), lit(4L)).cast("int").as("partition"),
+      col("event_id").as("offset"),
+      when(col("event_type") === "error", lit("delete")).otherwise(lit("upsert")).as("op"),
+      concat(lit("repo-"), pmod(col("user_id"), lit(10L)).cast("string")).as("repo"),
+      concat(lit("f"), col("user_id").cast("string")).as("path"),
+      col("props").as("content"),
+      col("ts"), col("value"), col("user_id"), col("event_type"))
+  }
+
+  /** The portable change-log view (DuckDB side), as a WITH prefix. */
+  val duckChanges: String =
+    """WITH changes AS (
+      |  SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15))::BIGINT % 4 AS INT) AS partition,
+      |         event_id AS "offset",
+      |         CASE WHEN event_type = 'error' THEN 'delete' ELSE 'upsert' END AS op,
+      |         'repo-' || CAST(user_id % 10 AS VARCHAR) AS repo,
+      |         'f' || CAST(user_id AS VARCHAR) AS path,
+      |         props AS content,
+      |         ts, value, user_id, event_type
+      |  FROM events
+      |)""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // K1/G2 — deterministic block chunk assignment (BlockGZIPFileWriter port)
+    "cdc_chunk_assign" -> { (s, dir) =>
+      Chunker.chunkDescriptors(Chunker.assignChunks(changes(s, dir), 1000L))
+        .select(col("partition"), col("chunk_id"),
+          col("first_record_offset"), col("num_records"),
+          col("byte_offset"), col("byte_length_uncompressed"))
+    },
+
+    // S6/G4 — offset recovery: next offset per partition = max+1
+    "cdc_offset_recovery" -> { (s, dir) =>
+      changes(s, dir).groupBy(col("partition")).agg(
+        (max(col("offset")) + 1L).as("next_offset"),
+        count(lit(1)).as("n_events"))
+    },
+
+    // P1 — partition filter (assigned-partition pruning)
+    "cdc_partition_filter" -> { (s, dir) =>
+      changes(s, dir).filter(col("partition").isin(0, 2))
+        .groupBy(col("partition"), col("op"))
+        .agg(count(lit(1)).as("n"), min(col("offset")).as("min_offset"),
+          max(col("offset")).as("max_offset"))
+    },
+
+    // P2 — offset-skip predicate: resume past per-partition committed offsets
+    "cdc_offset_skip" -> { (s, dir) =>
+      val committed = s.createDataFrame(
+        Seq((0, 100L), (1, 150L), (2, 200L), (3, 250L)))
+        .toDF("partition", "committed")
+      changes(s, dir)
+        .join(broadcast(committed), Seq("partition"))
+        .filter(col("offset") > col("committed"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), min(col("offset")).as("first_replayed"))
+    },
+
+    // G3 + MERGE semantics — last-writer-wins final state (the flagship)
+    "cdc_lww_state" -> { (s, dir) =>
+      val c = changes(s, dir)
+      c.groupBy(col("repo"), col("path"))
+        .agg(max_by(struct(col("op"), col("partition"), col("offset"), col("content")),
+          col("offset")).as("_s"))
+        .select(col("repo"), col("path"), col("_s.partition").as("partition"),
+          col("_s.offset").as("last_offset"), col("_s.content").as("content"),
+          col("_s.op").as("op"))
+        .filter(col("op") === "upsert").drop("op")
+        .withColumn("content_md5", md5(col("content")))
+    },
+
+    // G3 — monotonic dedup gate under simulated redelivery (union with self)
+    "cdc_dedup_redelivery" -> { (s, dir) =>
+      val c = changes(s, dir).select("partition", "offset")
+      c.unionAll(c).dropDuplicates("partition", "offset")
+        .groupBy(col("partition")).agg(count(lit(1)).as("n_unique"))
+    },
+
+    // F7 — offset-keyed file naming, format + parse roundtrip
+    "cdc_filename_roundtrip" -> { (s, dir) =>
+      changes(s, dir)
+        .withColumn("file_first_offset", (col("offset") - pmod(col("offset"), lit(500L))))
+        .groupBy(col("partition"), col("file_first_offset"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("filename",
+          format_string("chg-%05d-%012d.gz", col("partition"), col("file_first_offset")))
+        .withColumn("parsed_partition",
+          regexp_extract(col("filename"), "chg-(\\d{5})-(\\d{12})\\.gz", 1).cast("int"))
+        .withColumn("parsed_offset",
+          regexp_extract(col("filename"), "chg-(\\d{5})-(\\d{12})\\.gz", 2).cast("long"))
+    },
+
+    // F8 — deterministic date prefix from event time (never wall clock)
+    "cdc_date_prefix" -> { (s, dir) =>
+      changes(s, dir)
+        .withColumn("day_prefix", date_format(col("ts"), "yyyy-MM-dd"))
+        .groupBy(col("day_prefix"), col("partition"))
+        .agg(count(lit(1)).as("n"))
+    },
+
+    // F1 — text encode with trailing delimiter (key \t value \n)
+    "cdc_text_encode" -> { (s, dir) =>
+      changes(s, dir)
+        .withColumn("encoded",
+          concat(col("repo"), lit("/"), col("path"), lit("\t"),
+            coalesce(col("content"), lit("")), lit("\n")))
+        .select(col("offset"), octet_length(col("encoded")).as("n_bytes"),
+          md5(col("encoded")).as("encoded_md5"))
+    },
+
+    // G2 — running totals per partition (every 100th offset sampled)
+    "cdc_running_totals" -> { (s, dir) =>
+      val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      changes(s, dir)
+        .withColumn("b", coalesce(octet_length(col("content")).cast("long"), lit(0L)) + 1L)
+        .withColumn("run_bytes", sum(col("b")).over(w))
+        .withColumn("run_records", count(lit(1)).over(w))
+        .filter(pmod(col("offset"), lit(100L)) === 0)
+        .select("partition", "offset", "run_bytes", "run_records")
+    },
+
+    // G3 — monotonicity audit: offsets must never regress in event-time order
+    "cdc_monotonic_audit" -> { (s, dir) =>
+      val w = Window.partitionBy(col("partition")).orderBy(col("ts"), col("offset"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      changes(s, dir)
+        .withColumn("prev_max", max(col("offset")).over(w))
+        .groupBy(col("partition"))
+        .agg(sum(when(col("offset") < col("prev_max"), 1L).otherwise(0L)).as("violations"),
+          count(lit(1)).as("n"))
+    },
+
+    // P4 — topic remap projection
+    "cdc_topic_remap" -> { (s, dir) =>
+      changes(s, dir)
+        .withColumn("topic", concat(lit("backup."), col("event_type")))
+        .groupBy(col("topic")).agg(count(lit(1)).as("n"))
+    },
+
+    // G5 — round-robin partition→task assignment
+    "cdc_task_assignment" -> { (s, dir) =>
+      changes(s, dir)
+        .withColumn("task", pmod(col("partition"), lit(3)))
+        .groupBy(col("task")).agg(
+          count(lit(1)).as("n"),
+          countDistinct(col("partition")).as("n_partitions"))
+    })
+
+  private def duck(body: String): String = duckChanges + "\n" + body
+
+  val oracles: Map[String, String] = Map(
+    "cdc_chunk_assign" -> duck(
+      """, sized AS (
+        |  SELECT partition, "offset", coalesce(length(content), 0) + 1 AS b FROM changes
+        |), cum AS (
+        |  SELECT partition, "offset", b,
+        |         sum(b) OVER (PARTITION BY partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING) - b AS bytes_before
+        |  FROM sized
+        |), chunks AS (
+        |  SELECT partition, CAST(floor(bytes_before / 1000) AS BIGINT) AS chunk_id,
+        |         min("offset") AS first_record_offset,
+        |         count(*) AS num_records,
+        |         CAST(sum(b) AS BIGINT) AS byte_length_uncompressed
+        |  FROM cum GROUP BY 1, 2
+        |)
+        |SELECT partition, chunk_id, first_record_offset, num_records,
+        |       CAST(sum(byte_length_uncompressed) OVER (PARTITION BY partition ORDER BY chunk_id ROWS UNBOUNDED PRECEDING) - byte_length_uncompressed AS BIGINT) AS byte_offset,
+        |       byte_length_uncompressed
+        |FROM chunks""".stripMargin),
+
+    "cdc_offset_recovery" -> duck(
+      """SELECT partition, max("offset") + 1 AS next_offset, count(*) AS n_events
+        |FROM changes GROUP BY 1""".stripMargin),
+
+    "cdc_partition_filter" -> duck(
+      """SELECT partition, op, count(*) AS n, min("offset") AS min_offset, max("offset") AS max_offset
+        |FROM changes WHERE partition IN (0, 2) GROUP BY 1, 2""".stripMargin),
+
+    "cdc_offset_skip" -> duck(
+      """, committed(partition, committed) AS (VALUES (0, 100), (1, 150), (2, 200), (3, 250))
+        |SELECT c.partition, count(*) AS n, min(c.offset) AS first_replayed
+        |FROM changes c JOIN committed m ON c.partition = m.partition
+        |WHERE c.offset > m.committed
+        |GROUP BY 1""".stripMargin),
+
+    "cdc_lww_state" -> duck(
+      """SELECT repo, path, partition, "offset" AS last_offset, content, md5(content) AS content_md5
+        |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+        |      FROM changes) t
+        |WHERE rn = 1 AND op = 'upsert'""".stripMargin),
+
+    "cdc_dedup_redelivery" -> duck(
+      """SELECT partition, count(*) AS n_unique
+        |FROM (SELECT DISTINCT partition, "offset"
+        |      FROM (SELECT partition, "offset" FROM changes
+        |            UNION ALL SELECT partition, "offset" FROM changes) u) d
+        |GROUP BY 1""".stripMargin),
+
+    "cdc_filename_roundtrip" -> duck(
+      """, g AS (
+        |  SELECT partition, "offset" - ("offset" % 500) AS file_first_offset, count(*) AS n
+        |  FROM changes GROUP BY 1, 2
+        |)
+        |SELECT partition, file_first_offset, n,
+        |       printf('chg-%05d-%012d.gz', partition, file_first_offset) AS filename,
+        |       CAST(regexp_extract(printf('chg-%05d-%012d.gz', partition, file_first_offset), 'chg-(\d{5})-(\d{12})\.gz', 1) AS INT) AS parsed_partition,
+        |       CAST(regexp_extract(printf('chg-%05d-%012d.gz', partition, file_first_offset), 'chg-(\d{5})-(\d{12})\.gz', 2) AS BIGINT) AS parsed_offset
+        |FROM g""".stripMargin),
+
+    "cdc_date_prefix" -> duck(
+      """SELECT strftime(ts, '%Y-%m-%d') AS day_prefix, partition, count(*) AS n
+        |FROM changes GROUP BY 1, 2""".stripMargin),
+
+    "cdc_text_encode" -> duck(
+      """SELECT "offset",
+        |       octet_length(encode(repo || '/' || path || chr(9) || coalesce(content, '') || chr(10))) AS n_bytes,
+        |       md5(repo || '/' || path || chr(9) || coalesce(content, '') || chr(10)) AS encoded_md5
+        |FROM changes""".stripMargin),
+
+    "cdc_running_totals" -> duck(
+      """, sized AS (
+        |  SELECT partition, "offset", coalesce(octet_length(encode(content)), 0) + 1 AS b FROM changes
+        |)
+        |SELECT partition, "offset",
+        |       CAST(sum(b) OVER (PARTITION BY partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_bytes,
+        |       CAST(count(*) OVER (PARTITION BY partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_records
+        |FROM sized QUALIFY "offset" % 100 = 0""".stripMargin),
+
+    "cdc_monotonic_audit" -> duck(
+      """, m AS (
+        |  SELECT partition, "offset",
+        |         max("offset") OVER (PARTITION BY partition ORDER BY ts, "offset"
+        |                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+        |  FROM changes
+        |)
+        |SELECT partition,
+        |       CAST(sum(CASE WHEN "offset" < prev_max THEN 1 ELSE 0 END) AS BIGINT) AS violations,
+        |       count(*) AS n
+        |FROM m GROUP BY 1""".stripMargin),
+
+    "cdc_topic_remap" -> duck(
+      """SELECT 'backup.' || event_type AS topic, count(*) AS n FROM changes GROUP BY 1""".stripMargin),
+
+    "cdc_task_assignment" -> duck(
+      """SELECT partition % 3 AS task, count(*) AS n, count(DISTINCT partition) AS n_partitions
+        |FROM changes GROUP BY 1""".stripMargin)
+  )
+}

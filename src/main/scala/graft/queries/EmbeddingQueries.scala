@@ -1,0 +1,182 @@
+package graft.queries
+
+import graft.functions.Portable
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (64-dim float vectors).
+  *
+  * Exactness across engines: float elements are scaled to integers
+  * (round(x * 1e6) as BIGINT), so dot products and norms are exact integer
+  * arithmetic in both Spark and DuckDB; only the final cosine is a double,
+  * computed from identical integers with identical IEEE ops.
+  *
+  * Scale path: brute-force top-k is the baseline (fine for a bounded query
+  * set — it's one broadcast of the queries against a scan of the corpus);
+  * the LSH variant buckets by 8 deterministic hyperplane signs so candidate
+  * generation is a bucket-equijoin, never all-pairs.
+  */
+object EmbeddingQueries {
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** vectors as exact scaled integers + precomputed squared norm */
+  private def scaled(s: SparkSession, dir: String): DataFrame =
+    emb(s, dir).select(col("vec_id"),
+      expr("transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT))").as("v"))
+      .withColumn("norm2", expr("aggregate(transform(v, x -> x * x), 0L, (a, b) -> a + b)"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  private def cosine(d: Column, na: Column, nb: Column): Column =
+    round(d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 9)
+
+  /** 8-bit LSH bucket: sign of the dot product with 8 deterministic
+    * hyperplanes, whose coefficients are ±1 from md5(dim || '~' || plane).
+    */
+  private def withBucket(v: DataFrame): DataFrame = {
+    val planeBit = (j: Int) => {
+      // sum_i v[i] * sign(md5(i ~ j)) > 0  ->  bit j
+      val signedSum = expr(
+        s"""aggregate(
+           |  zip_with(v, sequence(0, size(v) - 1), (x, i) ->
+           |    CASE WHEN CAST(conv(substr(md5(concat(CAST(i AS STRING), '~', '$j')), 1, 15), 16, 10) AS BIGINT) % 2 = 0
+           |         THEN x ELSE -x END),
+           |  0L, (a, b) -> a + b)""".stripMargin)
+      when(signedSum > 0, lit(1L << j)).otherwise(lit(0L))
+    }
+    v.withColumn("bucket", (0 until 8).map(planeBit).reduce(_ + _))
+  }
+
+  /** DuckDB: same scaled-int vectors. */
+  private val duckScaled =
+    """WITH sv AS (
+      |  SELECT vec_id,
+      |         list_transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS v
+      |  FROM embeddings
+      |), sn AS (
+      |  SELECT vec_id, v,
+      |         CAST(list_sum(list_transform(v, x -> x * x)) AS BIGINT) AS norm2
+      |  FROM sv
+      |)""".stripMargin
+
+  private val duckBucket = duckScaled + ",\n" +
+    (0 until 8).map { j =>
+      s"""p$j AS (
+         |  SELECT vec_id,
+         |         CASE WHEN CAST(list_sum(list_transform(range(1, len(v) + 1),
+         |                i -> CASE WHEN ('0x' || substr(md5(CAST(i - 1 AS VARCHAR) || '~' || '$j'), 1, 15))::BIGINT % 2 = 0
+         |                          THEN v[i] ELSE -v[i] END)) AS BIGINT) > 0
+         |              THEN ${1L << j} ELSE 0 END AS bit$j
+         |  FROM sn
+         |)""".stripMargin
+    }.mkString(",\n") +
+    """,
+      |bucketed AS (
+      |  SELECT sn.vec_id, sn.v, sn.norm2,
+      |         CAST(p0.bit0 + p1.bit1 + p2.bit2 + p3.bit3 + p4.bit4 + p5.bit5 + p6.bit6 + p7.bit7 AS BIGINT) AS bucket
+      |  FROM sn
+      |  JOIN p0 USING (vec_id) JOIN p1 USING (vec_id) JOIN p2 USING (vec_id)
+      |  JOIN p3 USING (vec_id) JOIN p4 USING (vec_id) JOIN p5 USING (vec_id)
+      |  JOIN p6 USING (vec_id) JOIN p7 USING (vec_id)
+      |)""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // brute-force cosine top-3 for the first 5 query vectors
+    "emb_cosine_topk" -> { (s, dir) =>
+      val all = scaled(s, dir)
+      val q = all.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("qid"), col("v").as("qv"), col("norm2").as("qn"))
+      val joined = broadcast(q).crossJoin(
+        all.select(col("vec_id").as("cid"), col("v").as("cv"), col("norm2").as("cn")))
+        .filter(col("qid") =!= col("cid"))
+        .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+    },
+
+    // LSH bucket histogram (the partition layout of the ANN index)
+    "emb_lsh_buckets" -> { (s, dir) =>
+      withBucket(scaled(s, dir))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"), min(col("vec_id")).as("min_vec"),
+          max(col("vec_id")).as("max_vec"))
+    },
+
+    // ANN: nearest in-bucket neighbor per query vector (bucket-equijoin,
+    // never all-pairs — the 100 TB candidate-generation path)
+    "emb_lsh_ann" -> { (s, dir) =>
+      val b = withBucket(scaled(s, dir))
+      val q = b.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm2").as("qn"), col("bucket"))
+      val c = b.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("norm2").as("cn"), col("bucket"))
+      val joined = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
+        .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      joined.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
+        .select(col("qid"), col("bucket"), col("cid"), col("cosine"))
+    },
+
+    // embedding near-dup pairs within buckets above a cosine floor
+    "emb_neardup" -> { (s, dir) =>
+      val b = withBucket(scaled(s, dir))
+      val l = b.select(col("vec_id").as("ida"), col("v").as("va"),
+        col("norm2").as("na"), col("bucket"))
+      val r = b.select(col("vec_id").as("idb"), col("v").as("vb"),
+        col("norm2").as("nb"), col("bucket"))
+      l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
+        .withColumn("cosine", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
+        .filter(col("cosine") >= 0.30)
+        .select(col("ida"), col("idb"), col("bucket"), col("cosine"))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "emb_cosine_topk" -> (duckScaled +
+      """, q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM sn WHERE vec_id < 5),
+        |scoredq AS (
+        |  SELECT q.qid, c.vec_id AS cid,
+        |         round(CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) AS BIGINT) AS DOUBLE)
+        |               / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))), 9) AS cosine
+        |  FROM q, sn c WHERE q.qid <> c.vec_id
+        |)
+        |SELECT qid, rank, cid, cosine FROM (
+        |  SELECT qid, cid, cosine,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |  FROM scoredq) t
+        |WHERE rank <= 3""".stripMargin),
+
+    "emb_lsh_buckets" -> (duckBucket +
+      """
+        |SELECT bucket, count(*) AS n, min(vec_id) AS min_vec, max(vec_id) AS max_vec
+        |FROM bucketed GROUP BY 1""".stripMargin),
+
+    "emb_lsh_ann" -> (duckBucket +
+      """, q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn, bucket FROM bucketed WHERE vec_id < 20),
+        |scoredq AS (
+        |  SELECT q.qid, q.bucket, c.vec_id AS cid,
+        |         round(CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) AS BIGINT) AS DOUBLE)
+        |               / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))), 9) AS cosine
+        |  FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.qid <> c.vec_id
+        |)
+        |SELECT qid, bucket, cid, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |  FROM scoredq) t
+        |WHERE rank = 1""".stripMargin),
+
+    "emb_neardup" -> (duckBucket +
+      """
+        |SELECT * FROM (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb, a.bucket,
+        |         round(CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
+        |               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 9) AS cosine
+        |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+        |) t WHERE cosine >= 0.30""".stripMargin)
+  )
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import graft.pipeline.CdcPipeline
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end engine queries: these run the actual CDC pipeline (journal
+  * append + lake MERGE + restart/replay) against the portable change log and
+  * return the final lake state — which the driver then cross-checks against
+  * the independent DuckDB last-writer-wins oracle. This is the strongest
+  * check in the suite: the whole exactly-once machine vs an engine that
+  * shares none of its code.
+  */
+object EngineQueries {
+
+  private def rmRf(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
+    f.delete(): Unit
+  }
+
+  private def workDir(tag: String): String = {
+    val d = new java.io.File(s"/tmp/graft-e2e/$tag")
+    rmRf(d)
+    d.mkdirs()
+    d.getAbsolutePath
+  }
+
+  /** shape the final lake state for comparison */
+  private def finalState(lake: graft.lake.LakeTable): DataFrame =
+    lake.read().select(col("repo"), col("path"), col("partition"),
+      col("offset").as("last_offset"), col("content"),
+      md5(col("content")).as("content_md5"))
+
+  private val duckFinalState: String = CdcQueries.duckChanges +
+    """
+      |SELECT repo, path, partition, "offset" AS last_offset, content, md5(content) AS content_md5
+      |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+      |      FROM changes) t
+      |WHERE rn = 1 AND op = 'upsert'""".stripMargin
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // full pipeline, 8 micro-batches, clean run
+    "eng_cdc_merge" -> { (s, dir) =>
+      val root = workDir("merge")
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8)
+      p.runBatches(CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content"), 8)
+      finalState(p.lake)
+    },
+
+    // same, but killed after batch 3 and restarted from scratch (fenced
+    // replay of batches 0-3, live batches 4-7): exactly-once through the gate
+    "eng_cdc_restart" -> { (s, dir) =>
+      val root = workDir("restart")
+      val changes = CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content")
+      val p1 = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8)
+      p1.runBatches(changes, 8, crashAfter = Some(3L)) // "crash"
+      val p2 = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8)               // cold restart
+      p2.runBatches(changes, 8)                          // replays 0..3, applies 4..7
+      finalState(p2.lake)
+    },
+
+    // journal write → resume-read round trip: per-partition content checksum
+    // (order-insensitive exact sum of md5-derived ints) after a 4-batch append
+    "eng_journal_roundtrip" -> { (s, dir) =>
+      val root = workDir("journal")
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8, journalEnabled = true)
+      val changes = CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content")
+      p.runBatches(changes, 4)
+      p.journal.read()
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          sum(graft.functions.Portable.md5Long(coalesce(col("content"), lit("∅")))
+            .cast("decimal(38,0)")).as("content_sum"))
+    },
+
+    // mid-stream resume: committed offsets inside the journal ⇒ replay
+    // returns exactly the suffix (port of S3FilesReaderTest offset resume)
+    "eng_journal_resume" -> { (s, dir) =>
+      val root = workDir("resume")
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8)
+      val changes = CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content")
+      p.runBatches(changes, 4)
+      val committed = Map(0 -> 100L, 1 -> 150L, 2 -> 200L, 3 -> 250L)
+      p.journal.readFrom(committed)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), min(col("offset")).as("first_replayed"))
+    },
+
+    // multimodal plumbing: opaque binary payload column + typed metadata,
+    // deterministic stub "decode" (md5-derived dimensions — the real decoder
+    // would be a library call in mapPartitions; the Spark-side schema,
+    // batching and partitioning are the real thing)
+    "mm_decode_stub" -> { (s, dir) =>
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      d.select(col("doc_id"),
+        encode(col("text"), "UTF-8").as("payload"),
+        col("source").as("modality"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+        .withColumn("fake_width",
+          pmod(graft.functions.Portable.md5Long(concat(lit("w#"), col("doc_id").cast("string"))),
+            lit(1920L)).as("fake_width"))
+        .withColumn("fake_height",
+          pmod(graft.functions.Portable.md5Long(concat(lit("h#"), col("doc_id").cast("string"))),
+            lit(1080L)))
+        .select("doc_id", "modality", "n_bytes", "fake_width", "fake_height")
+    })
+
+  val oracles: Map[String, String] = Map(
+    "eng_cdc_merge" -> duckFinalState,
+    "eng_cdc_restart" -> duckFinalState,
+
+    "eng_journal_roundtrip" -> (CdcQueries.duckChanges +
+      """
+        |SELECT partition, count(*) AS n, min("offset") AS min_offset, max("offset") AS max_offset,
+        |       CAST(sum(('0x' || substr(md5(coalesce(content, '∅')), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS content_sum
+        |FROM changes GROUP BY 1""".stripMargin),
+
+    "eng_journal_resume" -> (CdcQueries.duckChanges +
+      """, committed(partition, committed) AS (VALUES (0, 100), (1, 150), (2, 200), (3, 250))
+        |SELECT c.partition, count(*) AS n, min(c."offset") AS first_replayed
+        |FROM changes c JOIN committed m ON c.partition = m.partition
+        |WHERE c."offset" > m.committed
+        |GROUP BY 1""".stripMargin),
+
+    "mm_decode_stub" ->
+      """SELECT doc_id, source AS modality,
+        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |       ('0x' || substr(md5('w#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1920 AS fake_width,
+        |       ('0x' || substr(md5('h#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1080 AS fake_height
+        |FROM documents""".stripMargin
+  )
+}

@@ -1,0 +1,299 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data pipeline text operators over the `documents` table:
+  * exact dedup, MinHash signatures, LSH candidate pairs, n-gram Jaccard,
+  * SimHash, fingerprinting, token counting, language ID, quality scoring.
+  *
+  * Everything hash-based uses md5 (portable to the DuckDB oracle); shingles
+  * are 3-word n-grams over whitespace tokens. All set ops are per-doc
+  * DISTINCT so the math is true set similarity.
+  *
+  * Scale notes: every operator here is a groupBy/join on hashable keys —
+  * no cross joins. The LSH self-join is the scale path for near-dup at
+  * 100 TB (candidates per band bucket, never all pairs); the Jaccard join
+  * runs only on LSH candidates.
+  */
+object TextQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  /** distinct 3-word shingles per doc: (doc_id, shingle) */
+  private def shingles(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
+      .filter(size(col("w")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        "transform(sequence(1, size(w) - 2), " +
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
+        .as("shingle"))
+      .distinct()
+
+  /** k=8 MinHash signature per doc (min over md5('i:' || shingle)). */
+  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
+    val aggs = (0 until 8).map(i =>
+      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
+    shingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH candidate pairs: 4 bands of 2 minhashes each; a pair is a candidate
+    * if any band matches. Self-join per band bucket — never all-pairs.
+    */
+  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
+    val sig = minhashSig(s, dir)
+    val bands = (0 until 4).map { b =>
+      sig.select(col("doc_id"), lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))
+    }.reduce(_.unionAll(_))
+    val l = bands.as("a")
+    val r = bands.as("b")
+    l.join(r, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+      && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  private val duckShingles =
+    """WITH w AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM documents
+      |  WHERE len(string_split_regex(trim(text), '\s+')) >= 3
+      |), sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, len(w) - 1),
+      |                i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS shingle
+      |  FROM w
+      |)""".stripMargin
+
+  private val duckSig = duckShingles +
+    """, sig AS (
+      |  SELECT doc_id,
+      |         min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
+      |         min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
+      |         min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
+      |         min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
+      |  FROM sh GROUP BY 1
+      |)""".stripMargin
+
+  private val duckBands = duckSig +
+    """, bands AS (
+      |  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
+      |  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
+      |  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
+      |  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig
+      |), pairs AS (
+      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      |  FROM bands a JOIN bands b
+      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+      |)""".stripMargin
+
+  // language-ID keyword table: marker word per language, scored by
+  // occurrence count in the padded text; argmax with a fixed tiebreak chain
+  private val langMarkers = Seq(
+    "en" -> " the ", "es" -> " a ", "de" -> " data ", "fr" -> " key ", "zh" -> " row ")
+
+  private def occurrences(padded: Column, kw: String): Column =
+    ((length(padded) - length(regexp_replace(padded, java.util.regex.Pattern.quote(kw), "")))
+      / lit(kw.length)).cast("long")
+
+  val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // exact dedup: content-hash groups, survivor = min doc_id
+    "txt_dedup_exact" -> { (s, dir) =>
+      docs(s, dir).groupBy(md5(col("text")).as("text_md5"))
+        .agg(min(col("doc_id")).as("survivor"), count(lit(1)).as("n_copies"))
+    },
+
+    // MinHash signatures (k=8)
+    "txt_minhash" -> { (s, dir) => minhashSig(s, dir) },
+
+    // LSH banding: near-dup candidate pairs
+    "txt_lsh_pairs" -> { (s, dir) => lshPairs(s, dir) },
+
+    // exact n-gram Jaccard on the LSH candidates
+    "txt_ngram_jaccard" -> { (s, dir) =>
+      val sh = shingles(s, dir)
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val pairs = lshPairs(s, dir)
+      val inter = pairs
+        .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+        .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
+          && col("sa.shingle") === col("sb.shingle"))
+        .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("n_inter"))
+      pairs
+        .join(inter, Seq("doc_a", "doc_b"), "left")
+        .na.fill(0L, Seq("n_inter"))
+        .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+        .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        .select(col("doc_a"), col("doc_b"), col("n_inter"),
+          (col("za.sz") + col("zb.sz") - col("n_inter")).as("n_union"),
+          round(col("n_inter").cast("double")
+            / (col("za.sz") + col("zb.sz") - col("n_inter")).cast("double"), 9)
+            .as("jaccard"))
+    },
+
+    // SimHash (16-bit) over distinct words
+    "txt_simhash" -> { (s, dir) =>
+      val words = docs(s, dir)
+        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .distinct()
+      val sign = (j: Int) => when(
+        pmod(graft.functions.Portable.md5Long(concat(lit(s"$j#"), col("word"))), lit(2L)) === 0,
+        lit(1L)).otherwise(lit(-1L))
+      val votes = words.groupBy(col("doc_id"))
+        .agg(sum(sign(0)).as("b0"),
+          (1 until 16).map(j => sum(sign(j)).as(s"b$j")): _*)
+      votes.select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
+    },
+
+    // document fingerprint: md5 of whitespace-normalized text
+    "txt_fingerprint" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        md5(trim(regexp_replace(lower(col("text")), "\\s+", " "))).as("fingerprint"))
+    },
+
+    // token counting: whitespace tokens + BPE-ish regex tokens
+    "txt_token_count" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long").as("n_ws_tokens"),
+        expr("size(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+          .cast("long").as("n_bpe_tokens"),
+        length(col("text")).cast("long").as("n_chars"))
+    },
+
+    // language ID: stopword-marker scores + fixed-order argmax
+    "txt_langid" -> { (s, dir) =>
+      val padded = concat(lit(" "), lower(col("text")), lit(" "))
+      val scored = docs(s, dir).select(
+        (col("doc_id") +: langMarkers.map { case (l, kw) =>
+          occurrences(padded, kw).as(s"s_$l")
+        }): _*)
+      // argmax with tiebreak = declaration order (en, es, de, fr, zh)
+      val pred = langMarkers.map(_._1).foldRight(lit("und"): Column) { (l, acc) =>
+        val isMax = langMarkers.map(_._1).filter(_ != l)
+          .map(o => col(s"s_$l") >= col(s"s_$o")).reduce(_ && _)
+        when(col(s"s_$l") > 0 && isMax &&
+          langMarkers.map(_._1).takeWhile(_ != l)
+            .map(o => col(s"s_$l") > col(s"s_$o")).foldLeft(lit(true): Column)(_ && _),
+          lit(l)).otherwise(acc)
+      }
+      scored.withColumn("predicted", pred)
+    },
+
+    // quality scoring: exact integer features + double-of-exact composite
+    "txt_quality" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars"),
+        expr("size(regexp_extract_all(text, '\\\\S+', 0))").cast("long").as("n_tokens"),
+        expr("size(regexp_extract_all(text, '[.!?,;:]', 0))").cast("long").as("n_punct"),
+        expr("size(regexp_extract_all(concat(' ', lower(text), ' '), " +
+          "' (the|a|of|and|to|in) ', 0))").cast("long").as("n_stop"))
+        .withColumn("avg_token_len",
+          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 9))
+        .withColumn("stop_ratio",
+          round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 9))
+        .withColumn("quality_score",
+          round(least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+            + col("n_stop").cast("double") / col("n_tokens").cast("double") * lit(2.0), 9))
+    })
+
+  val oracles: Map[String, String] = Map(
+    "txt_dedup_exact" ->
+      """SELECT md5(text) AS text_md5, min(doc_id) AS survivor, count(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "txt_minhash" -> (duckSig + "\nSELECT * FROM sig"),
+
+    "txt_lsh_pairs" -> (duckBands + "\nSELECT doc_a, doc_b FROM pairs"),
+
+    "txt_ngram_jaccard" -> (duckBands +
+      """, sizes AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+        |inter AS (
+        |  SELECT p.doc_a, p.doc_b, count(*) AS n_inter
+        |  FROM pairs p
+        |  JOIN sh sa ON sa.doc_id = p.doc_a
+        |  JOIN sh sb ON sb.doc_id = p.doc_b AND sb.shingle = sa.shingle
+        |  GROUP BY 1, 2
+        |)
+        |SELECT p.doc_a, p.doc_b, coalesce(i.n_inter, 0) AS n_inter,
+        |       za.sz + zb.sz - coalesce(i.n_inter, 0) AS n_union,
+        |       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |             / CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 9) AS jaccard
+        |FROM pairs p
+        |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+        |JOIN sizes za ON za.doc_id = p.doc_a
+        |JOIN sizes zb ON zb.doc_id = p.doc_b""".stripMargin),
+
+    "txt_simhash" -> {
+      val hexLong = (e: String) => s"('0x' || substr(md5($e), 1, 15))::BIGINT"
+      val sums = (0 until 16).map(j =>
+        s"sum(CASE WHEN ${hexLong(s"'$j#' || word")} % 2 = 0 THEN 1 ELSE -1 END) AS b$j")
+        .mkString(",\n         ")
+      val bits = (0 until 16).map(j =>
+        s"CASE WHEN b$j > 0 THEN ${1L << j} ELSE 0 END").mkString(" + ")
+      s"""WITH words AS (
+         |  SELECT DISTINCT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS word
+         |  FROM documents
+         |), votes AS (
+         |  SELECT doc_id,
+         |         $sums
+         |  FROM words GROUP BY 1
+         |)
+         |SELECT doc_id, CAST($bits AS BIGINT) AS simhash FROM votes""".stripMargin
+    },
+
+    "txt_fingerprint" ->
+      """SELECT doc_id, md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "txt_token_count" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws_tokens,
+        |       CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+        |       CAST(length(text) AS BIGINT) AS n_chars
+        |FROM documents""".stripMargin,
+
+    "txt_langid" -> {
+      val score = (kw: String) =>
+        s"CAST((length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '$kw', ''))) / ${kw.length} AS BIGINT)"
+      val cols = langMarkers.map { case (l, kw) => s"${score(kw)} AS s_$l" }.mkString(",\n       ")
+      // same fixed-order argmax chain as the Spark side
+      val langs = langMarkers.map(_._1)
+      val pred = langs.map { l =>
+        val geAll = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+        val gtPrev = langs.takeWhile(_ != l).map(o => s"s_$l > s_$o")
+        val cond = (Seq(s"s_$l > 0", geAll) ++ gtPrev).mkString(" AND ")
+        s"WHEN $cond THEN '$l'"
+      }.mkString("\n              ")
+      s"""WITH scored AS (
+         |  SELECT doc_id,
+         |       $cols
+         |  FROM documents
+         |)
+         |SELECT *, CASE $pred
+         |              ELSE 'und' END AS predicted
+         |FROM scored""".stripMargin
+    },
+
+    "txt_quality" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |         CAST(length(text) AS BIGINT) AS n_chars,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         CAST(len(regexp_extract_all(text, '[.!?,;:]')) AS BIGINT) AS n_punct,
+        |         CAST(len(regexp_extract_all(' ' || lower(text) || ' ', ' (the|a|of|and|to|in) ')) AS BIGINT) AS n_stop
+        |  FROM documents
+        |)
+        |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
+        |       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS avg_token_len,
+        |       round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS stop_ratio,
+        |       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |             + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 2.0, 9) AS quality_score
+        |FROM f""".stripMargin
+  )
+}

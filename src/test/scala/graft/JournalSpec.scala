@@ -1,0 +1,89 @@
+package graft
+
+import graft.gen.ChangeGen
+import graft.lake.ChangeJournal
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Ports of S3WriterTest (offset recovery) and S3FilesReaderTest (resume
+  * reads) against the journal:
+  *   - fresh table ⇒ resume offset 0 / empty map (the 404 ⇒ 0 case,
+  *     S3WriterTest.testFetchOffsetNewTopic:166-183)
+  *   - after appends ⇒ next offset = last chunk first + num
+  *     (testFetchOffsetExistingTopic:185-218, fixture expects 12031+34=12065)
+  *   - mid-file resume returns exactly the suffix
+  *     (S3FilesReaderTest.testReadingBytesFromS3_withOffsets:86-103)
+  *   - replayed batch ids are fenced no-ops; re-appending overwrites, never
+  *     duplicates (testShouldOverwrite:165-210)
+  */
+class JournalSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  test("fresh journal resumes at offset 0 (404 case)") {
+    val j = new ChangeJournal(SparkTestSession.tempDir("j404"), spark, 4096)
+    assert(j.nextOffsets() === Map.empty)
+    assert(j.lastBatchId === -1L)
+  }
+
+  test("offset recovery: next = last chunk first + num (12065 fixture shape)") {
+    val j = new ChangeJournal(SparkTestSession.tempDir("j12065"), spark, 100000)
+    // one partition, offsets 12031..12064 (34 records) — the reference
+    // fixture's final chunk
+    val batch = ChangeGen.changes(spark, 34, partitions = 1, startOffset = 12031L)
+    j.append(batch, 0L)
+    assert(j.nextOffsets() === Map(0 -> 12065L))
+  }
+
+  test("mid-file resume returns exactly the suffix, no dupes, no gaps") {
+    val root = SparkTestSession.tempDir("jresume")
+    val j = new ChangeJournal(root, spark, 2048)
+    val changes = ChangeGen.changes(spark, 400, partitions = 2)
+    j.append(changes, 0L)
+    val committed = Map(0 -> 4L, 1 -> 9L)
+    val got = j.readFrom(committed).select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val expect = changes.select("partition", "offset").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+      .filter { case (p, o) => o > committed(p) }.toSet
+    assert(got === expect)
+  }
+
+  test("fenced replay: same batchId is a no-op; offsets gate redelivery") {
+    val root = SparkTestSession.tempDir("jfence")
+    val j = new ChangeJournal(root, spark, 2048)
+    val changes = ChangeGen.changes(spark, 200, partitions = 2)
+    val n1 = j.append(changes, 0L)
+    assert(n1 === 200L)
+    // identical replay of the same epoch: fenced
+    assert(j.append(changes, 0L) === 0L)
+    // new epoch redelivering old offsets: deduped by the offset gate
+    assert(j.append(changes, 1L) === 0L)
+    assert(j.read().count() === 200L)
+    // chunk index tiles per file
+    val idx = j.chunkIndex().orderBy("partition", "path", "first_record_offset").collect()
+    idx.groupBy(r => (r.getInt(0), r.getString(1))).foreach { case (_, chunks) =>
+      var run = 0L
+      chunks.sortBy(_.getLong(2)).foreach { c =>
+        assert(c.getAs[Long]("byte_offset") === run)
+        run += c.getAs[Long]("byte_length_uncompressed")
+      }
+    }
+  }
+
+  test("multi-append: offsets continue, journal holds the full log") {
+    val root = SparkTestSession.tempDir("jmulti")
+    val j = new ChangeJournal(root, spark, 2048)
+    val changes = ChangeGen.changes(spark, 300, partitions = 3)
+    val b0 = changes.filter(col("offset") < 50)
+    val b1 = changes.filter(col("offset") >= 50)
+    j.append(b0, 0L)
+    val next = j.nextOffsets()
+    next.foreach { case (_, o) => assert(o === 50L) }
+    j.append(b1, 1L)
+    assert(j.read().count() === 300L)
+    // per-partition contents identical to the source log
+    val src = changes.select("partition", "offset", "content").orderBy("partition", "offset")
+    val got = j.read().select("partition", "offset", "content").orderBy("partition", "offset")
+    assert(src.exceptAll(got).isEmpty && got.exceptAll(src).isEmpty)
+  }
+}

@@ -1,0 +1,120 @@
+package graft
+
+import graft.gen.ChangeGen
+import graft.lake.{LakeTable, SchemaEvolution}
+import graft.pipeline.CdcPipeline
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** MERGE semantics + exactly-once + schema evolution, verified against the
+  * independent batch oracle (FIXTURES.md §5) by per-row sha256(content)
+  * equality — the port of the reference's restart/no-duplicates integration
+  * assertions (S3ConnectorIntegrationTest.binaryWithKeys:173-212,
+  * system_test/run.py:224-257).
+  */
+class LakeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** compare lake state vs oracle by (repo, path, sha256(content), offset) */
+  private def assertMatchesOracle(lake: LakeTable,
+      changes: org.apache.spark.sql.DataFrame): Unit = {
+    val got = lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"),
+        col("offset"))
+    val want = ChangeGen.oracleFinalState(changes)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"),
+        col("offset"))
+    val extra = got.exceptAll(want).count()
+    val missing = want.exceptAll(got).count()
+    assert(extra === 0L && missing === 0L,
+      s"lake != oracle: $extra extra rows, $missing missing rows")
+  }
+
+  test("single merge equals the LWW oracle (upserts + deletes)") {
+    val changes = ChangeGen.changes(spark, 2000, nKeys = 300, partitions = 4,
+      deletePct = 15)
+    val lake = new LakeTable(SparkTestSession.tempDir("lake1"), spark, subBuckets = 4)
+    lake.merge(changes, 0L)
+    assertMatchesOracle(lake, changes)
+  }
+
+  test("multi-batch merge equals oracle; watermarks advance") {
+    val changes = ChangeGen.changes(spark, 3000, nKeys = 200, partitions = 4,
+      deletePct = 20)
+    val p = new CdcPipeline(spark, SparkTestSession.tempDir("j2"),
+      SparkTestSession.tempDir("lake2"), chunkBytes = 4096, subBuckets = 4)
+    p.runBatches(changes, 6)
+    assertMatchesOracle(p.lake, changes)
+    val wm = p.lake.watermarks()
+    val maxOff = changes.groupBy("partition").agg(max("offset")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(wm === maxOff)
+  }
+
+  test("crash + restart + full replay is exactly-once (fenced, idempotent)") {
+    val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
+      deletePct = 10)
+    val jr = SparkTestSession.tempDir("j3")
+    val lr = SparkTestSession.tempDir("lake3")
+    val p1 = new CdcPipeline(spark, jr, lr, chunkBytes = 4096, subBuckets = 4)
+    p1.runBatches(changes, 8, crashAfter = Some(2L)) // die after batch 2
+    val p2 = new CdcPipeline(spark, jr, lr, chunkBytes = 4096, subBuckets = 4)
+    p2.runBatches(changes, 8) // cold restart, replays everything from batch 0
+    assertMatchesOracle(p2.lake, changes)
+    // journal too: every offset exactly once
+    val dupes = p2.journal.read().groupBy("partition", "offset").count()
+      .filter(col("count") > 1).count()
+    assert(dupes === 0L)
+    assert(p2.journal.read().count() === 2000L)
+  }
+
+  test("hot-key skew (80% one repo) merges correctly") {
+    val changes = ChangeGen.changes(spark, 3000, nKeys = 100, partitions = 4,
+      hotPct = 80, deletePct = 10)
+    val lake = new LakeTable(SparkTestSession.tempDir("lake4"), spark, subBuckets = 4)
+    lake.merge(changes, 0L)
+    assertMatchesOracle(lake, changes)
+  }
+
+  test("schema evolution: column add + int->long widen mid-stream") {
+    val base = ChangeGen.changes(spark, 600, nKeys = 80, partitions = 2, deletePct = 0)
+    val b0 = base.filter(col("offset") < 100)
+      .withColumn("stars", (pmod(col("offset"), lit(100L))).cast("int"))
+    val b1 = base.filter(col("offset") >= 100)
+      .withColumn("stars", col("offset") * 1000000L) // widened to long
+      .withColumn("license", concat(lit("apache-"), pmod(col("offset"), lit(2L)))) // added
+    val lake = new LakeTable(SparkTestSession.tempDir("lake5"), spark, subBuckets = 4)
+    lake.merge(b0, 0L)
+    assert(lake.currentSchema.get("stars").dataType === IntegerType)
+    lake.merge(b1, 1L)
+    val sch = lake.currentSchema.get
+    assert(sch("stars").dataType === LongType, "stars must widen int->long")
+    assert(sch.fieldNames.contains("license"), "license must be added")
+    val rows = lake.read()
+    // old rows (only in b0) readable under the evolved schema with null license
+    val oldRows = rows.filter(col("offset") < 100)
+    assert(oldRows.count() > 0)
+    assert(oldRows.filter(col("license").isNotNull).count() === 0)
+    // values survived the widen
+    val sample = rows.filter(col("offset") >= 100).limit(1).collect()(0)
+    assert(sample.getAs[Long]("stars") === sample.getAs[Long]("offset") * 1000000L)
+  }
+
+  test("incompatible schema change fails fast") {
+    val m = intercept[IllegalArgumentException] {
+      SchemaEvolution.merge(
+        StructType(Seq(StructField("x", LongType))),
+        StructType(Seq(StructField("x", StringType))))
+    }
+    assert(m.getMessage.contains("incompatible"))
+  }
+
+  test("widen ladder") {
+    assert(SchemaEvolution.widen(IntegerType, LongType) === Some(LongType))
+    assert(SchemaEvolution.widen(FloatType, DoubleType) === Some(DoubleType))
+    assert(SchemaEvolution.widen(IntegerType, DoubleType) === Some(DoubleType))
+    assert(SchemaEvolution.widen(LongType, IntegerType) === Some(LongType))
+    assert(SchemaEvolution.widen(StringType, LongType) === None)
+  }
+}

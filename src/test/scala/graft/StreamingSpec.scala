@@ -1,0 +1,82 @@
+package graft
+
+import graft.gen.ChangeGen
+import graft.pipeline.CdcPipeline
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Structured Streaming ingest: file-source tail → foreachBatch → lake,
+  * with checkpoint recovery — the streaming analogue of the reference's
+  * put()/flush()/restart cycle (SURVEY.md §2.6). Uses AvailableNow +
+  * awaitTermination for a synchronous test.
+  *
+  * Delivery-order contract: like the reference's Kafka consumer, the CDC
+  * source delivers each partition's events in offset order. The file tail
+  * reproduces that by arrival order (slices appended in offset order, as a
+  * binlog shipper would), which FileStreamSource replays by mod time.
+  */
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  /** append `changes` to `src` as n sequential offset-ordered slice files */
+  private def shipSlices(changes: DataFrame, src: String, n: Int): Unit = {
+    val Array(lo, hi) = changes.agg(min("offset"), max("offset")).collect()(0) match {
+      case r => Array(r.getLong(0), r.getLong(1))
+    }
+    val span = math.max(1L, (hi - lo + n) / n)
+    (0 until n).foreach { b =>
+      changes.filter(col("offset") >= lo + b * span && col("offset") < lo + (b + 1) * span)
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+  }
+
+  test("streaming ingest from file source reaches the oracle state") {
+    val src = SparkTestSession.tempDir("ssrc")
+    val ckpt = SparkTestSession.tempDir("sckpt")
+    val changes = ChangeGen.changes(spark, 1500, nKeys = 120, partitions = 4,
+      deletePct = 10)
+    shipSlices(changes, src, 5)
+    val schema = spark.read.parquet(src).schema
+
+    val p = new CdcPipeline(spark, SparkTestSession.tempDir("sj"),
+      SparkTestSession.tempDir("slake"), chunkBytes = 8192, subBuckets = 4)
+    val q = p.stream(src, ckpt, schema, maxFilesPerTrigger = 2)
+    q.awaitTermination()
+
+    val got = p.lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(changes)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("checkpoint restart resumes without duplicates") {
+    val src = SparkTestSession.tempDir("rsrc")
+    val ckpt = SparkTestSession.tempDir("rckpt")
+    val jr = SparkTestSession.tempDir("rj")
+    val lr = SparkTestSession.tempDir("rlake")
+    val changes = ChangeGen.changes(spark, 1000, nKeys = 100, partitions = 4)
+    val half0 = changes.filter(col("offset") < 120)
+    val half1 = changes.filter(col("offset") >= 120)
+    val schema = changes.schema
+
+    shipSlices(half0, src, 2)
+    val p1 = new CdcPipeline(spark, jr, lr, chunkBytes = 8192, subBuckets = 4)
+    p1.stream(src, ckpt, schema, maxFilesPerTrigger = 1).awaitTermination()
+
+    // more data arrives, pipeline restarts from checkpoint
+    shipSlices(half1, src, 2)
+    val p2 = new CdcPipeline(spark, jr, lr, chunkBytes = 8192, subBuckets = 4)
+    p2.stream(src, ckpt, schema, maxFilesPerTrigger = 1).awaitTermination()
+
+    assert(p2.journal.read().count() === 1000L)
+    assert(p2.journal.read().groupBy("partition", "offset").count()
+      .filter(col("count") > 1).count() === 0L)
+    val got = p2.lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(changes)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+}
