@@ -1,23 +1,50 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Per-round benchmark driver: headline queries on SPARK_GRAFT_SF_DIR at
+  * local[N] (N = SPARK_GRAFT_CPUS, default 32). Prints exactly ONE JSON line.
+  *
+  * Headline set: the flagship CDC merge semantics, the chunker, the heavier
+  * analytics joins/aggregates, the text dedup pipeline stages, embedding
+  * similarity, and one full end-to-end engine run (journal + lake MERGE with
+  * restart semantics) — the operators whose 100 TB behavior matters most.
+  * Scaling evidence (same job at two core counts) lives in
+  * graft.bench.ScalingBench → BENCH/BASELINE.md.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val sfDir = args.lift(0).getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = args.lift(1).getOrElse(sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+
+    val headline = Seq(
+      "cdc_lww_state", "cdc_chunk_assign", "cdc_running_totals",
+      "ana_pricing_summary", "ana_region_revenue", "ana_top_customers",
+      "ana_sessionize",
+      "txt_dedup_exact", "txt_minhash", "txt_lsh_pairs", "txt_token_count",
+      "emb_cosine_topk", "emb_lsh_buckets",
+      "eng_cdc_merge")
+
+    val results = headline.map { name =>
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val n = try { fn(spark, sfDir).count() } catch {
+        case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L
+      }
+      require(n != 0L || name.startsWith("emb_"), s"$name returned no rows")
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

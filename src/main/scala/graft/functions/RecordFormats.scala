@@ -1,0 +1,96 @@
+package graft.functions
+
+import java.io.{ByteArrayOutputStream, DataOutputStream}
+import java.nio.ByteBuffer
+import java.nio.charset.Charset
+
+/** Record codecs — ports of the reference's pluggable `S3RecordFormat`s
+  * (api/.../S3RecordFormat.java:7-41):
+  *
+  *   - [[TrailingDelimiterFormat]] ↔ common/.../TrailingDelimiterFormat.java:20-64
+  *     `[key][keyDelim][value][valueDelim]`, configurable charsets
+  *   - [[ByteLengthFormat]] ↔ common/.../ByteLengthFormat.java:43-56 +
+  *     BytesRecordReader.java:34-94: optional `[keyLen:int4][key]` then
+  *     `[valLen:int4][value]`, big-endian; mid-record EOF ⇒ corrupt
+  *
+  * In the Spark engine these are plain Scala used inside typed `map` /
+  * `mapPartitions` at the source/sink byte boundary (parquet carries typed
+  * columns everywhere else, so the codecs only matter for interop with the
+  * reference's file bodies). No reflection plug-in loading: formats are
+  * values, not class names (the Spark-native answer to Configure.createFormat,
+  * common/.../Configure.java:115-135).
+  */
+object RecordFormats {
+
+  final case class Framed(key: Array[Byte], value: Array[Byte])
+
+  /** Text format with trailing delimiters; key emitted only when a key
+    * delimiter is configured (TrailingDelimiterFormat.java:51-52).
+    */
+  final class TrailingDelimiterFormat(
+      valueDelimiter: String = "\n",
+      keyDelimiter: Option[String] = None,
+      charset: Charset = java.nio.charset.StandardCharsets.UTF_8) {
+
+    def encode(key: String, value: String): Array[Byte] = {
+      val sb = new StringBuilder
+      keyDelimiter.foreach { kd => sb.append(key).append(kd) }
+      sb.append(value).append(valueDelimiter)
+      sb.toString.getBytes(charset)
+    }
+
+    /** decode a full buffer of concatenated records */
+    def decodeAll(bytes: Array[Byte]): Seq[(Option[String], String)] = {
+      val text = new String(bytes, charset)
+      val records = text.split(java.util.regex.Pattern.quote(valueDelimiter), -1)
+        .toSeq.dropRight(1) // trailing delimiter terminates, not separates
+      records.map { r =>
+        keyDelimiter match {
+          case None => (None, r)
+          case Some(kd) =>
+            val i = r.indexOf(kd)
+            if (i < 0) throw new IllegalArgumentException(
+              s"missing value after key in record '$r'") // DelimitedRecordReader.java:69-73
+            (Some(r.substring(0, i)), r.substring(i + kd.length))
+        }
+      }
+    }
+  }
+
+  /** Length-prefixed binary format, big-endian int4 lengths. */
+  final class ByteLengthFormat(includeKeys: Boolean) {
+
+    def encode(rec: Framed): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val d = new DataOutputStream(out)
+      if (includeKeys) { d.writeInt(rec.key.length); d.write(rec.key) }
+      d.writeInt(rec.value.length)
+      d.write(rec.value)
+      out.toByteArray
+    }
+
+    /** decode a full buffer; EOF at a record boundary ends cleanly, EOF
+      * mid-record is corrupt (BytesRecordReader.java:92-94)
+      */
+    def decodeAll(bytes: Array[Byte]): Seq[Framed] = {
+      val buf = ByteBuffer.wrap(bytes)
+      val out = Seq.newBuilder[Framed]
+      def readChunk(): Array[Byte] = {
+        if (buf.remaining() < 4) throw corrupt(buf.position())
+        val len = buf.getInt
+        if (len < 0 || buf.remaining() < len) throw corrupt(buf.position())
+        val a = new Array[Byte](len)
+        buf.get(a)
+        a
+      }
+      while (buf.hasRemaining) {
+        val key = if (includeKeys) readChunk() else Array.empty[Byte]
+        out += Framed(key, readChunk())
+      }
+      out.result()
+    }
+
+    private def corrupt(at: Int) =
+      new IllegalStateException(s"Corrupt record at byte $at")
+  }
+}

@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   * (system_test/run.py:189-205) which feeds 100 JSON records with known
   * bytes; ours scales by count alone.
   *
-  * Knobs: nKeys (distinct (repo, path) pairs), hotPct (fraction of events
-  * hitting repo 0 — exercises the salted partitioner), deletePct,
+  * Layout is arithmetic, not windowed — `partition = id % P`,
+  * `offset = id / P` — so generation is embarrassingly parallel with zero
+  * shuffles (the original windowed design was the generator's own
+  * bottleneck). Keys are partition-local (the path embeds the partition),
+  * exactly like Kafka keys hashing to one partition: per-key event order is
+  * total within its partition.
+  *
+  * Knobs: nKeys (distinct keys per partition), hotPct (fraction of events on
+  * the hot repo `org-0/repo-0` — exercises skew handling), deletePct,
   * partitions P, payload size range.
   */
 object ChangeGen {
@@ -35,50 +42,48 @@ object ChangeGen {
       minLen: Int = 64,
       maxLen: Int = 512): DataFrame = {
     require(maxLen >= minLen && minLen >= 0)
+    val keysPerPartition = math.max(1, nKeys / math.max(1, partitions))
     val r = spark.range(0, nEvents, 1, math.max(4, partitions))
     // independent deterministic hash streams per purpose
     def h(tag: String) = xxhash64(lit(seed), lit(tag), col("id"))
-    val keyId = when(pmod(h("hot"), lit(100)) < lit(hotPct), lit(0L))
-      .otherwise(pmod(h("key"), lit(nKeys.toLong)))
-    val version = pmod(h("ver"), lit(1000000L)) // distinguishes updates of a key
+    val partitionCol = pmod(col("id"), lit(partitions.toLong)).cast("int")
+    val offsetCol = (col("id") / partitions).cast("long") + lit(startOffset)
+    val isHot = pmod(h("hot"), lit(100)) < lit(hotPct)
+    val keyId = pmod(h("key"), lit(keysPerPartition.toLong))
     val isDelete = pmod(h("op"), lit(100)) < lit(deletePct)
-    val repo = concat(lit("org-"), pmod(keyId, lit(17)), lit("/repo-"), pmod(keyId, lit(97)))
+    // keys are partition-local: the hot repo has one hot path per partition
+    // (same repo — the skew target — per-key order still total per partition)
+    val repo = when(isHot, lit("org-0/repo-0"))
+      .otherwise(concat(lit("org-"), pmod(keyId, lit(17)), lit("/repo-"), pmod(keyId, lit(97))))
     val ext = element_at(
       lit(Array("scala", "java", "py", "md", "rs", "go")),
       (pmod(keyId, lit(6)) + 1).cast("int"))
-    val path = concat(lit("src/dir"), pmod(keyId, lit(13)), lit("/File"), keyId, lit("."), ext)
-    val lang = ext // lang keyed by extension (FIXTURES.md §1)
-    // deterministic pseudo-text: md5 stream sliced to a seeded length
+    val path = when(isHot, concat(lit("hot/File"), partitionCol, lit(".md")))
+      .otherwise(concat(lit("src/dir"), partitionCol, lit("/File"), keyId, lit("."), ext))
+    val lang = when(isHot, lit("md")).otherwise(ext) // lang keyed by extension
+    // deterministic pseudo-text: 2 md5 blocks tiled to a seeded length
     val len = (lit(minLen) + pmod(h("len"), lit((maxLen - minLen + 1).toLong))).cast("int")
-    val block = md5(concat(lit(seed), lit(":"), col("id"))) // 32 chars
-    val contentFull = concat((0 until (512 / 32 + 1)).map(i => md5(concat(block, lit(i)))): _*)
-    val content = substring(contentFull, 1, 512).substr(lit(1), len)
+    val block = concat(md5(concat(lit(seed), lit(":"), col("id"))),
+      md5(concat(lit(seed), lit(";"), col("id"))))
+    val content = substring(repeat(block, (512 / 64) + 1), 1, 576).substr(lit(1), len)
+    val version = pmod(h("ver"), lit(1000000L))
     val commit = substring(sha2(concat(repo, path, version), 256), 1, 40)
 
-    val base = r
-      .withColumn("keyId", keyId)
-      .withColumn("repo", repo)
-      .withColumn("path", path)
-      .withColumn("partition", pmod(xxhash64(repo, path), lit(partitions.toLong)).cast("int"))
-      .withColumn("op", when(isDelete, lit("delete")).otherwise(lit("upsert")))
-      .withColumn("commit", when(isDelete, lit(null: String)).otherwise(commit))
-      .withColumn("lang", lang)
-      .withColumn("content", when(isDelete, lit(null: String)).otherwise(content))
-
-    // dense per-partition offsets in generation order (= id order), like the
-    // reference's per-TopicPartition offset sequence. A window at gen time is
-    // fine: generation is test/bench fixture code, not the ingest hot path.
-    import org.apache.spark.sql.expressions.Window
-    val w = Window.partitionBy(col("partition")).orderBy(col("id"))
-    base
-      .withColumn("offset", row_number().over(w).cast("long") - 1L + lit(startOffset))
-      .select("partition", "offset", "op", "repo", "path", "commit", "lang", "content")
+    r.select(
+      partitionCol.as("partition"),
+      offsetCol.as("offset"),
+      when(isDelete, lit("delete")).otherwise(lit("upsert")).as("op"),
+      repo.as("repo"),
+      path.as("path"),
+      when(isDelete, lit(null: String)).otherwise(commit).as("commit"),
+      lang.as("lang"),
+      when(isDelete, lit(null: String)).otherwise(content).as("content"))
   }
 
   /** The independent oracle for the final lake state (FIXTURES.md §5):
-    * last-writer-wins per (repo, path) by (partition, offset), deletes drop
-    * the key. Computed in one batch expression over the raw log — never via
-    * the engine under test.
+    * last-writer-wins per (repo, path) by offset, deletes drop the key.
+    * Computed in one batch expression over the raw log — never via the
+    * engine under test.
     */
   def oracleFinalState(changes: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window

@@ -96,8 +96,10 @@ final class ChangeJournal(
     // deterministic chunk assignment; chunks restart per file (= per append
     // per partition), exactly like the reference where every flushed .gz file
     // carries its own chunk list starting at byte 0 (BlockGZIPFileWriter is
-    // created anew per PartitionWriter, S3SinkTask.java:173-178)
+    // created anew per PartitionWriter, S3SinkTask.java:173-178).
+    // Persisted: scanned twice (chunk stats collect + data-file write).
     val fresh = Chunker.assignChunks(fresh0.drop("_next"), chunkBytes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // per-file (= per partition per append) and per-chunk stats, one pass
     val chunkStats = fresh.groupBy(col("partition"), col("chunk_id")).agg(
@@ -106,7 +108,11 @@ final class ChangeJournal(
       max(col("offset")).as("max_offset"),
       sum(col("bytes_uncompressed")).as("byte_length_uncompressed"))
       .collect()
-    if (chunkStats.isEmpty) { commitManifest(liveFiles(), next, bases, batchId); return 0L }
+    if (chunkStats.isEmpty) {
+      fresh.unpersist()
+      commitManifest(liveFiles(), next, bases, batchId)
+      return 0L
+    }
 
     // journal stores exactly the batch's schema (schema-flexible: evolved
     // payload columns flow straight through; only the meta trio is required)
@@ -118,10 +124,13 @@ final class ChangeJournal(
     io.fs.delete(staging, true)
     // `_p` duplicates `partition` for the directory layout only: partitionBy
     // strips its column from file contents, and promoted files must stay
-    // self-contained (the manifest, not the path, is the source of truth)
+    // self-contained (the manifest, not the path, is the source of truth).
+    // No repartition/sort here: the chunk-assignment window already hash-
+    // partitioned by `partition` and sorted by (partition, offset) — each
+    // partition value lives wholly in one task, so partitionBy still writes
+    // exactly one file per directory. Re-shuffling would double the batch's
+    // shuffle volume for nothing.
     fresh
-      .repartition(col("partition"))
-      .sortWithinPartitions(col("partition"), col("offset"))
       .select((dataCols.map(col) :+ col("partition").as("_p")).toIndexedSeq: _*)
       .write.mode("overwrite").partitionBy("_p").parquet(staging.toString)
 
@@ -155,6 +164,7 @@ final class ChangeJournal(
     }
     io.fs.delete(staging, true)
     io.fs.delete(new Path(io.rootPath, "_staging"), true)
+    fresh.unpersist()
 
     val newNext = next ++ byPartition.map { case (p, chunks) =>
       p -> (chunks.map(_.getLong(4)).max + 1L)

@@ -118,12 +118,14 @@ final class LakeTable(
     if (batchId <= lastBatchId) return -1L // epoch fence: replayed batch
 
     val wm = watermarks()
-    val deduped = if (wm.isEmpty) batch else {
+    val deduped0 = if (wm.isEmpty) batch else {
       val wmDf = spark.createDataFrame(wm.toSeq).toDF("partition", "_wm")
       batch.join(broadcast(wmDf), Seq("partition"), "left")
         .filter(col("_wm").isNull || col("offset") > col("_wm"))
         .drop("_wm")
     }
+    // the batch is scanned twice (lineage stats + LWW reduce): cache it
+    val deduped = deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // schema evolution: merge incoming payload schema into the lake schema
     val incomingSchema = StructType(
@@ -137,18 +139,8 @@ final class LakeTable(
       else oldSchemas :+ target
     val schemaId = newSchemas.size - 1
 
-    // within-batch last-writer-wins: one surviving version per key BEFORE the
-    // join, so each key meets the state exactly once. Done as a hash
-    // aggregate (max_by), NOT a window: partial aggregation combines map-side,
-    // so a hot repo collapses to one row per task before the shuffle — the
-    // skew defence the north star's salting is about, with Catalyst doing the
-    // salting implicitly (SURVEY.md §7 "What's hard"/skew).
-    val inCols = deduped.columns
-    val reduced = deduped
-      .groupBy(col("repo"), col("path"))
-      .agg(max_by(struct(inCols.map(col).toIndexedSeq: _*), col("offset")).as("_s"))
-      .select(col("_s.*"))
-      .withColumn("_sub", pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int"))
+    val withSub = deduped.withColumn("_sub",
+      pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int"))
 
     // stats BEFORE filtering deletes: watermarks must advance over deletes too
     val statRows = deduped.groupBy(col("partition")).agg(
@@ -156,9 +148,13 @@ final class LakeTable(
       count(lit(1)).as("n"),
       sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("nUp"))
       .collect()
-    if (statRows.isEmpty) { commit(liveFiles(), wm, newSchemas, batchId, Nil); return 0L }
+    if (statRows.isEmpty) {
+      deduped.unpersist()
+      commit(liveFiles(), wm, newSchemas, batchId, Nil)
+      return 0L
+    }
 
-    val touched: Set[(Int, Int)] = reduced.select(col("partition"), col("_sub"))
+    val touched: Set[(Int, Int)] = withSub.select(col("partition"), col("_sub"))
       .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
 
     val files = liveFiles()
@@ -185,21 +181,31 @@ final class LakeTable(
             else lit(null).cast(f.dataType).as(f.name)
           }): _*)
     }
-    val newShaped = shape(reduced)
-    val merged0 = state match {
+    // ONE shuffle for the whole MERGE: union the raw batch (tagged _new=1)
+    // with the touched state (tagged _new=0), repartition by the file key
+    // (partition, _sub), then hash-aggregate max_by over (_new, offset) per
+    // (repo, path). Because HashPartitioning(partition, _sub) clusters every
+    // (partition, _sub, repo, path) group, Catalyst inserts NO second
+    // exchange for the groupBy — and the same layout is exactly what the
+    // per-bucket file write needs, so the write is shuffle-free too.
+    // Within-batch LWW, state-vs-batch preference, and write layout all ride
+    // the same single exchange. Partial aggregation still combines hot keys
+    // map-side (the implicit salting the north star's skew story needs).
+    val newShaped = shape(withSub).withColumn("_new", lit(1))
+    val unioned = state match {
       case None => newShaped
-      case Some(st) =>
-        val stShaped = shape(st.withColumn("op", lit("upsert")))
-        // prefer the batch's version: row_number over (key) ordered by
-        // provenance (batch first), offset desc
-        val unioned = stShaped.withColumn("_new", lit(0))
-          .unionByName(newShaped.withColumn("_new", lit(1)))
-        val w = Window.partitionBy(col("repo"), col("path"))
-          .orderBy(col("_new").desc, col("offset").desc)
-        unioned.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn", "_new")
+      case Some(st) => shape(st.withColumn("op", lit("upsert")))
+        .withColumn("_new", lit(0)).unionByName(newShaped)
     }
+    val mcols = unioned.columns.filter(_ != "_new")
+    val merged0 = unioned
+      .repartition(col("partition"), col("_sub"))
+      .groupBy(col("partition"), col("_sub"), col("repo"), col("path"))
+      .agg(max_by(struct(mcols.map(col).toIndexedSeq: _*),
+        struct(col("_new"), col("offset"))).as("_m"))
+      .select(col("_m.*"))
     val survivors = merged0.filter(col("op") === "upsert").drop("op")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // rewrite each touched bucket as exactly one deterministically named file;
     // `_pp`/`_ss` duplicate the keys for the directory layout only (files stay
@@ -208,7 +214,6 @@ final class LakeTable(
     io.fs.delete(staging, true)
     survivors
       .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
-      .repartition(col("partition"), col("_sub"))
       .sortWithinPartitions(col("repo"), col("path"))
       .drop("_sub")
       .write.mode("overwrite").partitionBy("_pp", "_ss")
@@ -236,6 +241,8 @@ final class LakeTable(
         r.getLong(3), r.getLong(4), r.getLong(3) - r.getLong(4))
     }.toSeq
     commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage)
+    deduped.unpersist()
+    survivors.unpersist()
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
     statRows.map(_.getLong(3)).sum

@@ -23,18 +23,18 @@ class GenSpec extends AnyFunSuite {
         count(lit(1)).as("n"), countDistinct("offset").as("nd"))
       .collect()
     assert(stats.length === 4)
-    stats.foreach { r =>
-      assert(r.getLong(0) === 0L)                       // starts at 0
-      assert(r.getLong(1) === r.getLong(2) - 1)         // dense
-      assert(r.getLong(2) === r.getLong(3))             // unique
+    stats.foreach { r => // columns: partition, lo, hi, n, nd
+      assert(r.getLong(1) === 0L)                       // starts at 0
+      assert(r.getLong(2) === r.getLong(3) - 1)         // dense
+      assert(r.getLong(3) === r.getLong(4))             // unique
     }
   }
 
   test("hot-repo skew knob concentrates events") {
     val hot = ChangeGen.changes(spark, 2000, nKeys = 100, hotPct = 80)
-      .filter(col("repo") === "org-0/repo-0" && col("path").contains("File0."))
+      .filter(col("repo") === "org-0/repo-0")
       .count()
-    assert(hot > 1200L, s"expected >60% on the hot key, got $hot/2000")
+    assert(hot > 1200L, s"expected >60% on the hot repo, got $hot/2000")
   }
 
   test("deletes carry null content; upserts never do") {

@@ -1,0 +1,68 @@
+package graft
+
+import graft.functions.RecordFormats._
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.charset.{Charset, StandardCharsets}
+
+/** Port of common/src/test/java/.../FormatTests.java round-trip harness
+  * (:21-66) and the exact-bytes goldens of TrailingDelimiterFormatTest
+  * (:20-53) and ByteLengthFormatTest (:11-30, values containing tabs and
+  * newlines).
+  */
+class RecordFormatsSpec extends AnyFunSuite {
+
+  test("trailing-delimiter: exact bytes golden, UTF-16BE 'abc\\tdef\\n'") {
+    // TrailingDelimiterFormatTest.java:36-47: key 'abc', value 'def',
+    // key delim TAB, value delim NL, UTF-16BE
+    val f = new TrailingDelimiterFormat("\n", Some("\t"),
+      Charset.forName("UTF-16BE"))
+    val got = f.encode("abc", "def")
+    val want = "abc\tdef\n".getBytes(Charset.forName("UTF-16BE"))
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("trailing-delimiter: round trip with and without keys") {
+    val withKeys = new TrailingDelimiterFormat("\n", Some("\t"))
+    val recs = Seq("k1" -> "v1", "k2" -> "value two", "k3" -> "")
+    val bytes = recs.flatMap { case (k, v) => withKeys.encode(k, v) }.toArray
+    assert(withKeys.decodeAll(bytes) ===
+      recs.map { case (k, v) => (Some(k), v) })
+
+    val noKeys = new TrailingDelimiterFormat("\n", None)
+    val b2 = recs.flatMap { case (_, v) => noKeys.encode("", v) }.toArray
+    assert(noKeys.decodeAll(b2) === recs.map { case (_, v) => (None, v) })
+  }
+
+  test("trailing-delimiter: key without value is an error (decoder port)") {
+    val f = new TrailingDelimiterFormat("\n", Some("\t"))
+    intercept[IllegalArgumentException] {
+      f.decodeAll("justakey\n".getBytes(StandardCharsets.UTF_8))
+    }
+  }
+
+  test("byte-length: round trip incl. tabs/newlines in values") {
+    val f = new ByteLengthFormat(includeKeys = true)
+    val recs = Seq(
+      Framed("k1".getBytes, "line1\nline2\twith tab".getBytes),
+      Framed(Array.empty, "".getBytes),
+      Framed("key-3".getBytes, Array.tabulate[Byte](256)(_.toByte)))
+    val bytes = recs.flatMap(f.encode).toArray
+    val got = f.decodeAll(bytes)
+    assert(got.length === recs.length)
+    got.zip(recs).foreach { case (g, w) =>
+      assert(g.key.toSeq === w.key.toSeq)
+      assert(g.value.toSeq === w.value.toSeq)
+    }
+  }
+
+  test("byte-length: mid-record EOF is corrupt; boundary EOF is clean") {
+    val f = new ByteLengthFormat(includeKeys = false)
+    val whole = f.encode(Framed(Array.empty, "hello world".getBytes))
+    // boundary EOF: exact bytes decode fine
+    assert(f.decodeAll(whole).head.value.toSeq === "hello world".getBytes.toSeq)
+    // mid-record EOF: truncated value (BytesRecordReader.java:92-94)
+    intercept[IllegalStateException] { f.decodeAll(whole.dropRight(3)) }
+    // mid-length EOF
+    intercept[IllegalStateException] { f.decodeAll(whole.take(2)) }
+  }
+}
