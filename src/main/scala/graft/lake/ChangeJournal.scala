@@ -130,8 +130,13 @@ final class ChangeJournal(
     // partition value lives wholly in one task, so partitionBy still writes
     // exactly one file per directory. Re-shuffling would double the batch's
     // shuffle volume for nothing.
+    // the explicit sort satisfies FileFormatWriter's required ordering for
+    // dynamic partitions (prefix `_p`), so no second, UNSTABLE sort is
+    // inserted — and files stay offset-ordered, which is what gives parquet
+    // row-group min/max stats their pruning power on resume reads
     fresh
       .select((dataCols.map(col) :+ col("partition").as("_p")).toIndexedSeq: _*)
+      .sortWithinPartitions(col("_p"), col("offset"))
       .write.mode("overwrite").partitionBy("_p").parquet(staging.toString)
 
     // promote each partition's single part file to its offset-keyed name

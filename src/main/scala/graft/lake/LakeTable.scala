@@ -116,6 +116,13 @@ final class LakeTable(
     */
   def merge(batch: DataFrame, batchId: Long): Long = {
     if (batchId <= lastBatchId) return -1L // epoch fence: replayed batch
+    val timing = sys.env.contains("GRAFT_TIMING")
+    var tMark = System.nanoTime()
+    def mark(tag: String): Unit = if (timing) {
+      val now = System.nanoTime()
+      System.err.println(f"[timing]   merge/$tag ${(now - tMark) / 1e9}%.2fs")
+      tMark = now
+    }
 
     val wm = watermarks()
     val deduped0 = if (wm.isEmpty) batch else {
@@ -142,20 +149,28 @@ final class LakeTable(
     val withSub = deduped.withColumn("_sub",
       pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int"))
 
-    // stats BEFORE filtering deletes: watermarks must advance over deletes too
-    val statRows = deduped.groupBy(col("partition")).agg(
+    // ONE aggregation job yields both the per-partition lineage stats
+    // (grouped on the driver — watermarks must advance over deletes too) and
+    // the touched-bucket set. Micro-batch throughput is bounded by per-job
+    // fixed cost as much as by data volume; every saved job counts.
+    val bucketRows = withSub.groupBy(col("partition"), col("_sub")).agg(
       max(col("offset")).as("maxOff"), min(col("offset")).as("minOff"),
       count(lit(1)).as("n"),
       sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("nUp"))
       .collect()
-    if (statRows.isEmpty) {
+    mark("stats")
+    if (bucketRows.isEmpty) {
       deduped.unpersist()
       commit(liveFiles(), wm, newSchemas, batchId, Nil)
       return 0L
     }
-
-    val touched: Set[(Int, Int)] = withSub.select(col("partition"), col("_sub"))
-      .distinct().collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // partition-level rollup: (partition, maxOff, minOff, n, nUp)
+    val statRows = bucketRows.groupBy(_.getInt(0)).map { case (p, rs) =>
+      (p, rs.map(_.getLong(2)).max, rs.map(_.getLong(3)).min,
+        rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum)
+    }.toSeq
+    val touched: Set[(Int, Int)] =
+      bucketRows.map(r => (r.getInt(0), r.getInt(1))).toSet
 
     val files = liveFiles()
     val (touchedFiles, untouchedFiles) =
@@ -212,16 +227,20 @@ final class LakeTable(
     // self-contained — partitionBy strips its columns from file contents)
     val staging = new Path(io.rootPath, s"_staging/merge-$batchId")
     io.fs.delete(staging, true)
+    // sort prefix (_pp, _ss) satisfies the dynamic-partition write's required
+    // ordering — without it FileFormatWriter inserts its own sort on top
     survivors
       .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
-      .sortWithinPartitions(col("repo"), col("path"))
+      .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
       .drop("_sub")
       .write.mode("overwrite").partitionBy("_pp", "_ss")
       .parquet(staging.toString)
+    mark("write")
 
     val counts = survivors.groupBy(col("partition"), col("_sub"))
       .agg(count(lit(1)).as("n")).collect()
       .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    mark("counts")
 
     val newEntries = touched.toSeq.sorted.flatMap { case (p, s) =>
       val srcDir = new Path(staging, s"_pp=$p/_ss=$s")
@@ -234,18 +253,18 @@ final class LakeTable(
     }
     io.fs.delete(staging, true)
     io.fs.delete(new Path(io.rootPath, "_staging"), true)
+    mark("promote")
 
-    val newWm = wm ++ statRows.map(r => r.getInt(0) -> r.getLong(1))
-    val lineage = statRows.map { r =>
-      graft.model.LineageRow(batchId, r.getInt(0), r.getLong(2), r.getLong(1),
-        r.getLong(3), r.getLong(4), r.getLong(3) - r.getLong(4))
-    }.toSeq
+    val newWm = wm ++ statRows.map { case (p, maxOff, _, _, _) => p -> maxOff }
+    val lineage = statRows.map { case (p, maxOff, minOff, n, nUp) =>
+      graft.model.LineageRow(batchId, p, minOff, maxOff, n, nUp, n - nUp)
+    }
     commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage)
     deduped.unpersist()
     survivors.unpersist()
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
-    statRows.map(_.getLong(3)).sum
+    statRows.map(_._4).sum
   }
 
   private def commit(files: Seq[FileEntry], wm: Map[Int, Long],

@@ -34,8 +34,13 @@ final class CdcPipeline(
 
   /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId. */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
+    val timing = sys.env.contains("GRAFT_TIMING")
+    val t0 = System.nanoTime()
     if (journalEnabled) journal.append(batch, batchId)
+    val t1 = System.nanoTime()
     lake.merge(batch, batchId)
+    if (timing) System.err.println(
+      f"[timing] batch $batchId journal=${(t1 - t0) / 1e9}%.2fs merge=${(System.nanoTime() - t1) / 1e9}%.2fs")
   }
 
   /** Batch-mode driver for tests and bench: split a static, deterministic
