@@ -39,7 +39,7 @@ object ExplainAudit {
       val df = SparkEntry.queries(name)(spark, sfDir)
       val plan = df.queryExecution.explainString(ExplainMode.fromString("formatted"))
       val exchanges = "Exchange".r.findAllIn(plan).length
-      val codegen = "WholeStageCodegen".r.findAllIn(plan).length
+      val codegen = "WholeStageCodegen|codegen id".r.findAllIn(plan).length
       val broadcasts = "BroadcastHashJoin|BroadcastExchange".r.findAllIn(plan).length
       val pushed = plan.linesIterator.filter(l =>
         l.contains("PushedFilters") || l.contains("ReadSchema")).take(6).toSeq
