@@ -171,6 +171,20 @@ object CdcQueries {
         .groupBy(col("task")).agg(
           count(lit(1)).as("n"),
           countDistinct(col("partition")).as("n_partitions"))
+    },
+
+    // F9 — tag/config string parsing (`k1:v1,...` → map; here the props
+    // payload parsed to a typed value via str_to_map semantics)
+    "cdc_props_parse" -> { (s, dir) =>
+      changes(s, dir)
+        .withColumn("kv",
+          regexp_replace(regexp_replace(col("content"), "[{}\"\\s]", ""), ":", "="))
+        .withColumn("k_value",
+          element_at(str_to_map(col("kv"), lit(","), lit("=")), "k").cast("long"))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("k_value")).as("min_k"), max(col("k_value")).as("max_k"),
+          sum(col("k_value")).as("sum_k"))
     })
 
   private def duck(body: String): String = duckChanges + "\n" + body
@@ -270,6 +284,13 @@ object CdcQueries {
 
     "cdc_task_assignment" -> duck(
       """SELECT partition % 3 AS task, count(*) AS n, count(DISTINCT partition) AS n_partitions
+        |FROM changes GROUP BY 1""".stripMargin),
+
+    "cdc_props_parse" -> duck(
+      """SELECT partition, count(*) AS n,
+        |       min(CAST(json_extract(content, '$.k') AS BIGINT)) AS min_k,
+        |       max(CAST(json_extract(content, '$.k') AS BIGINT)) AS max_k,
+        |       CAST(sum(CAST(json_extract(content, '$.k') AS BIGINT)) AS BIGINT) AS sum_k
         |FROM changes GROUP BY 1""".stripMargin)
   )
 }
