@@ -23,12 +23,12 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CdcQueries.defs ++ AnalyticsQueries.defs ++ TextQueries.defs ++
-      EmbeddingQueries.defs ++ EngineQueries.defs
+      EmbeddingQueries.defs ++ EngineQueries.defs ++ MultimodalQueries.defs
 
   /** For each key in queries, equivalent SQL runnable by DuckDB on
     * the same parquet tables.
     */
   def oracleSql: Map[String, String] =
     CdcQueries.oracles ++ AnalyticsQueries.oracles ++ TextQueries.oracles ++
-      EmbeddingQueries.oracles ++ EngineQueries.oracles
+      EmbeddingQueries.oracles ++ EngineQueries.oracles ++ MultimodalQueries.oracles
 }

@@ -173,6 +173,31 @@ object CdcQueries {
           countDistinct(col("partition")).as("n_partitions"))
     },
 
+    // F3/F4 — length-prefixed binary framing roundtrip: big-endian int4
+    // length before key and value bytes (ByteLengthFormat port), built and
+    // re-parsed entirely inside codegen'd expressions over a hex transcript
+    // so the framing bytes are engine-checkable
+    "cdc_binary_roundtrip" -> { (s, dir) =>
+      changes(s, dir)
+        .withColumn("k", concat(col("repo"), lit("/"), col("path")))
+        .withColumn("val", coalesce(col("content"), lit("")))
+        .withColumn("klen", octet_length(col("k")).cast("long"))
+        .withColumn("vlen", octet_length(col("val")).cast("long"))
+        .withColumn("frame_hex", concat(
+          format_string("%08x", col("klen")), lower(hex(col("k"))),
+          format_string("%08x", col("vlen")), lower(hex(col("val")))))
+        // decode side: read the 4-byte length back, slice the key out
+        .withColumn("parsed_klen",
+          conv(substring(col("frame_hex"), 1, 8), 16, 10).cast("long"))
+        .withColumn("parsed_key",
+          decode(unhex(expr("substring(frame_hex, 9, int(parsed_klen) * 2)")), "UTF-8"))
+        .select(col("offset"),
+          (col("klen") + col("vlen") + 8L).as("n_bytes"),
+          md5(col("frame_hex")).as("frame_md5"),
+          (col("parsed_klen") === col("klen") && col("parsed_key") === col("k"))
+            .cast("int").as("roundtrip_ok"))
+    },
+
     // F9 — tag/config string parsing (`k1:v1,...` → map; here the props
     // payload parsed to a typed value via str_to_map semantics)
     "cdc_props_parse" -> { (s, dir) =>
@@ -285,6 +310,24 @@ object CdcQueries {
     "cdc_task_assignment" -> duck(
       """SELECT partition % 3 AS task, count(*) AS n, count(DISTINCT partition) AS n_partitions
         |FROM changes GROUP BY 1""".stripMargin),
+
+    "cdc_binary_roundtrip" -> duck(
+      """, framed AS (
+        |  SELECT "offset",
+        |         repo || '/' || path AS k,
+        |         coalesce(content, '') AS val,
+        |         CAST(octet_length(encode(repo || '/' || path)) AS BIGINT) AS klen,
+        |         CAST(octet_length(encode(coalesce(content, ''))) AS BIGINT) AS vlen
+        |  FROM changes
+        |), built AS (
+        |  SELECT "offset", k, klen, vlen,
+        |         printf('%08x', klen) || lower(hex(k)) || printf('%08x', vlen) || lower(hex(val)) AS frame_hex
+        |  FROM framed
+        |)
+        |SELECT "offset", klen + vlen + 8 AS n_bytes, md5(frame_hex) AS frame_md5,
+        |       CAST(('0x' || substr(frame_hex, 1, 8))::BIGINT = klen
+        |            AND decode(unhex(substr(frame_hex, 9, CAST(klen * 2 AS INT)))) = k AS INT) AS roundtrip_ok
+        |FROM built""".stripMargin),
 
     "cdc_props_parse" -> duck(
       """SELECT partition, count(*) AS n,

@@ -135,6 +135,33 @@ object EmbeddingQueries {
         .withColumn("cosine", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
         .filter(col("cosine") >= 0.30)
         .select(col("ida"), col("idb"), col("bucket"), col("cosine"))
+    },
+
+    // IVF ANN: assign every vector to its nearest of 4 deterministic
+    // centroids (broadcast nested-loop over k centroids — k is tiny, the
+    // corpus scan is the big side), then search only within the query's
+    // cell. The inverted-file counterpart of the LSH path: candidate
+    // generation is a cell-equijoin, never all-pairs.
+    "emb_ivf_topk" -> { (s, dir) =>
+      val all = scaled(s, dir)
+      val cents = all.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("cent_id"), col("v").as("cvv"), col("norm2").as("cnn"))
+      val assigned = all.crossJoin(broadcast(cents))
+        .withColumn("cos_c", cosine(dot(col("v"), col("cvv")), col("norm2"), col("cnn")))
+      val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
+      val cells = assigned.withColumn("rn", row_number().over(wAssign))
+        .filter(col("rn") === 1)
+        .select(col("vec_id"), col("v"), col("norm2"), col("cent_id").as("cell"))
+      val q = cells.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+        .select(col("vec_id").as("qid"), col("v").as("qv"),
+          col("norm2").as("qn"), col("cell"))
+      val c = cells.select(col("vec_id").as("cid"), col("v").as("cv"),
+        col("norm2").as("cn"), col("cell"))
+      val joined = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
+        .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+      joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+        .select(col("qid"), col("cell"), col("rank"), col("cid"), col("cosine"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -169,6 +196,30 @@ object EmbeddingQueries {
         |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
         |  FROM scoredq) t
         |WHERE rank = 1""".stripMargin),
+
+    "emb_ivf_topk" -> (duckScaled +
+      """, cents AS (SELECT vec_id AS cent_id, v AS cvv, norm2 AS cnn FROM sn WHERE vec_id < 4),
+        |assigned AS (
+        |  SELECT sn.vec_id, sn.v, sn.norm2, c.cent_id,
+        |         round(CAST(CAST(list_sum(list_transform(range(1, len(sn.v) + 1), i -> sn.v[i] * c.cvv[i])) AS BIGINT) AS DOUBLE)
+        |               / (sqrt(CAST(sn.norm2 AS DOUBLE)) * sqrt(CAST(c.cnn AS DOUBLE))), 9) AS cos_c
+        |  FROM sn, cents c
+        |), cells AS (
+        |  SELECT vec_id, v, norm2, cent_id AS cell FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cos_c DESC, cent_id) AS rn
+        |    FROM assigned) t
+        |  WHERE rn = 1
+        |), q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn, cell FROM cells WHERE vec_id >= 5 AND vec_id < 15),
+        |scoredq AS (
+        |  SELECT q.qid, q.cell, c.vec_id AS cid,
+        |         round(CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) AS BIGINT) AS DOUBLE)
+        |               / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))), 9) AS cosine
+        |  FROM q JOIN cells c ON q.cell = c.cell AND q.qid <> c.vec_id
+        |)
+        |SELECT qid, cell, rank, cid, cosine FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |  FROM scoredq) t
+        |WHERE rank <= 3""".stripMargin),
 
     "emb_neardup" -> (duckBucket +
       """

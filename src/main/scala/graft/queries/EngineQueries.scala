@@ -97,6 +97,31 @@ object EngineQueries {
         .agg(count(lit(1)).as("n"), min(col("offset")).as("first_replayed"))
     },
 
+    // schema evolution through the whole MERGE machine: batch 0 carries the
+    // base payload + an int `score`; batch 1 adds a `lang` column and widens
+    // `score` to long. Final state must show old rows under the evolved
+    // schema (null lang, widened score) with no file rewrites on evolution —
+    // the north rule's "Catalyst-driven schema evolution" end to end.
+    "eng_schema_evolution" -> { (s, dir) =>
+      val root = workDir("schevo")
+      val c = CdcQueries.changes(s, dir)
+      val b = c.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+        .collect()(0)
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val base = c.select("partition", "offset", "op", "repo", "path", "content")
+      val phaseA = base.filter(col("offset") <= mid)
+        .withColumn("score", pmod(col("offset"), lit(100L)).cast("int"))
+      val phaseB = base.filter(col("offset") > mid)
+        .withColumn("score", col("offset") * 1000L)
+        .withColumn("lang", concat(lit("l"), pmod(col("offset"), lit(5L)).cast("string")))
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
+      p.applyBatch(phaseA, 0L)
+      p.applyBatch(phaseB, 1L)
+      p.lake.read().select(col("repo"), col("path"), col("offset").as("last_offset"),
+        col("content"), col("score"), col("lang"), md5(col("content")).as("content_md5"))
+    },
+
     // multimodal plumbing: opaque binary payload column + typed metadata,
     // deterministic stub "decode" (md5-derived dimensions — the real decoder
     // would be a library call in mapPartitions; the Spark-side schema,
@@ -119,6 +144,20 @@ object EngineQueries {
   val oracles: Map[String, String] = Map(
     "eng_cdc_merge" -> duckFinalState,
     "eng_cdc_restart" -> duckFinalState,
+
+    "eng_schema_evolution" -> (CdcQueries.duckChanges +
+      """, b AS (SELECT (min("offset") + max("offset")) // 2 AS mid FROM changes),
+        |lww AS (
+        |  SELECT repo, path, "offset" AS last_offset, content, op,
+        |         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+        |  FROM changes
+        |)
+        |SELECT repo, path, last_offset, content,
+        |       CAST(CASE WHEN last_offset > b.mid THEN last_offset * 1000
+        |                 ELSE last_offset % 100 END AS BIGINT) AS score,
+        |       CASE WHEN last_offset > b.mid THEN 'l' || CAST(last_offset % 5 AS VARCHAR) END AS lang,
+        |       md5(content) AS content_md5
+        |FROM lww, b WHERE rn = 1 AND op = 'upsert'""".stripMargin),
 
     "eng_journal_roundtrip" -> (CdcQueries.duckChanges +
       """
