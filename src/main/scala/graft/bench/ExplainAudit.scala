@@ -18,7 +18,7 @@ object ExplainAudit {
     "cdc_lww_state", "cdc_chunk_assign", "cdc_offset_skip",
     "ana_pricing_summary", "ana_region_revenue", "ana_top_customers",
     "txt_minhash", "txt_lsh_pairs", "emb_cosine_topk", "emb_lsh_buckets",
-    "mm_decode_stub")
+    "emb_ivf_topk", "mm_decode_stub", "mm_frame_sample")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.lift(0).getOrElse("/root/testdata/sf0.001")
