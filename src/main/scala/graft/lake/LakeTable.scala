@@ -220,7 +220,6 @@ final class LakeTable(
         struct(col("_new"), col("offset"))).as("_m"))
       .select(col("_m.*"))
     val survivors = merged0.filter(col("op") === "upsert").drop("op")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // rewrite each touched bucket as exactly one deterministically named file;
     // `_pp`/`_ss` duplicate the keys for the directory layout only (files stay
@@ -237,20 +236,31 @@ final class LakeTable(
       .parquet(staging.toString)
     mark("write")
 
-    val counts = survivors.groupBy(col("partition"), col("_sub"))
-      .agg(count(lit(1)).as("n")).collect()
-      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
-    mark("counts")
-
-    val newEntries = touched.toSeq.sorted.flatMap { case (p, s) =>
-      val srcDir = new Path(staging, s"_pp=$p/_ss=$s")
-      if (!io.fs.exists(srcDir)) None // bucket emptied by deletes
-      else {
-        val rel = f"data/part-$p%05d-s$s%04d-b$batchId%012d.parquet"
-        io.promoteSingleFile(srcDir, new Path(io.rootPath, rel))
-        Some(FileEntry(p, s, rel, schemaId, counts.getOrElse((p, s), 0L)))
+    // promote each touched bucket to its deterministic name; per-file row
+    // counts come from the parquet footer (no extra Spark job — the write is
+    // the last job of the batch). Promotes run on a bounded pool because on
+    // an object store each one is a copy+delete; results keep (p, s) order
+    // so the manifest stays deterministic.
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    val newEntries = try {
+      val futs = touched.toSeq.sorted.map { case (p, s) =>
+        (p, s, pool.submit(new java.util.concurrent.Callable[Option[(String, Long)]] {
+          def call(): Option[(String, Long)] = {
+            val srcDir = new Path(staging, s"_pp=$p/_ss=$s")
+            if (!io.fs.exists(srcDir)) None // bucket emptied by deletes
+            else {
+              val rel = f"data/part-$p%05d-s$s%04d-b$batchId%012d.parquet"
+              val dest = new Path(io.rootPath, rel)
+              io.promoteSingleFile(srcDir, dest)
+              Some((rel, io.parquetRowCount(dest)))
+            }
+          }
+        }))
       }
-    }
+      futs.flatMap { case (p, s, f) =>
+        f.get().map { case (rel, n) => FileEntry(p, s, rel, schemaId, n) }
+      }
+    } finally pool.shutdown()
     io.fs.delete(staging, true)
     io.fs.delete(new Path(io.rootPath, "_staging"), true)
     mark("promote")
@@ -261,7 +271,6 @@ final class LakeTable(
     }
     commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage)
     deduped.unpersist()
-    survivors.unpersist()
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
     statRows.map(_._4).sum

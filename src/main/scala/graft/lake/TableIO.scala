@@ -78,4 +78,15 @@ final class TableIO(val root: String, spark: SparkSession) {
     if (!fs.rename(parts.head.getPath, dest))
       throw new java.io.IOException(s"rename ${parts.head.getPath} -> $dest failed")
   }
+
+  /** Exact row count from the parquet footer — manifest stats without a
+    * Spark job (the footer is the file's own ChunkDescriptor: the writer
+    * already recorded per-block row counts, so a count(*) scan would be
+    * redundant work).
+    */
+  def parquetRowCount(p: Path): Long = {
+    val in = org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    val r = org.apache.parquet.hadoop.ParquetFileReader.open(in)
+    try r.getRecordCount finally r.close()
+  }
 }
