@@ -33,6 +33,12 @@ object Bench {
       "emb_cosine_topk", "emb_lsh_buckets",
       "eng_cdc_merge")
 
+    // one untimed pass of the flagship query: loads file indexes, compiles
+    // codegen, JITs the hot md5/agg paths. Timed numbers then measure the
+    // operators, not first-query JVM warmup (cold fresh-JVM numbers are
+    // ScalingBench's job — see BENCH/BASELINE.md).
+    SparkEntry.queries("cdc_lww_state")(spark, sfDir).count(): Unit
+
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
