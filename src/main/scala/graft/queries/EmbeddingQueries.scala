@@ -34,18 +34,30 @@ object EmbeddingQueries {
   private def cosine(d: Column, na: Column, nb: Column): Column =
     round(d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 9)
 
+  /** ±1 hyperplane coefficient for (dim i, plane j): parity of
+    * md5(s"$i~$j") — the same value Spark's
+    * `md5(concat(CAST(i AS STRING), '~', 'j'))` and DuckDB's
+    * `md5(CAST(i-1 AS VARCHAR) || '~' || 'j')` derive. The coefficients are
+    * constants, so they're computed once here and embedded as array
+    * literals instead of being re-derived per row (64 dims × 8 planes =
+    * 512 md5 calls per row otherwise — pure waste at 100 TB).
+    */
+  private def planeSign(i: Int, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"$i~$j".getBytes("UTF-8")).map(b => f"$b%02x").mkString
+    if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L else -1L
+  }
+
   /** 8-bit LSH bucket: sign of the dot product with 8 deterministic
     * hyperplanes, whose coefficients are ±1 from md5(dim || '~' || plane).
     */
   private def withBucket(v: DataFrame): DataFrame = {
+    // vector length probed once at plan time (all rows share it)
+    val dims = v.select(size(col("v"))).head().getInt(0)
     val planeBit = (j: Int) => {
-      // sum_i v[i] * sign(md5(i ~ j)) > 0  ->  bit j
-      val signedSum = expr(
-        s"""aggregate(
-           |  zip_with(v, sequence(0, size(v) - 1), (x, i) ->
-           |    CASE WHEN CAST(conv(substr(md5(concat(CAST(i AS STRING), '~', '$j')), 1, 15), 16, 10) AS BIGINT) % 2 = 0
-           |         THEN x ELSE -x END),
-           |  0L, (a, b) -> a + b)""".stripMargin)
+      val signs = typedlit((0 until dims).map(i => planeSign(i, j)))
+      val signedSum = aggregate(
+        zip_with(col("v"), signs, (x, s) => x * s), lit(0L), (a, b) => a + b)
       when(signedSum > 0, lit(1L << j)).otherwise(lit(0L))
     }
     v.withColumn("bucket", (0 until 8).map(planeBit).reduce(_ + _))

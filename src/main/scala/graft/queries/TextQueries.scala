@@ -40,19 +40,27 @@ object TextQueries {
   }
 
   /** LSH candidate pairs: 4 bands of 2 minhashes each; a pair is a candidate
-    * if any band matches. Self-join per band bucket — never all-pairs.
+    * if any band matches. One pass over the signatures (bands unpivoted with
+    * a generator, so the expensive shingle+minhash subtree appears ONCE in
+    * the plan — a self-join would recompute it per side per band, 8 scans at
+    * 100 TB), then pairs generated per band bucket — never all-pairs. Bucket
+    * rows are O(bucket size); a production run would cap pathological
+    * buckets (a bucket of n docs yields n·(n-1)/2 candidates by design).
     */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
-    val bands = (0 until 4).map { b =>
-      sig.select(col("doc_id"), lit(b).as("band"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))
-    }.reduce(_.unionAll(_))
-    val l = bands.as("a")
-    val r = bands.as("b")
-    l.join(r, col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
-      && col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val bands = sig.select(col("doc_id"), explode(array(
+      (0 until 4).map(b => struct(lit(b).as("band"),
+        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+    bands.groupBy(col("band"), col("bkey"))
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        "flatten(transform(ids, (x, i) -> " +
+          "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"))
+        .as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
       .distinct()
   }
 
