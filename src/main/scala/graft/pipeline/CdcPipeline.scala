@@ -32,15 +32,32 @@ final class CdcPipeline(
   val journal = new ChangeJournal(journalRoot, spark, chunkBytes)
   val lake = new LakeTable(lakeRoot, spark, subBuckets)
 
-  /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId. */
+  /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId.
+    *
+    * Journal append and lake merge are independent dataflows over the same
+    * batch, each idempotent and fenced by its own committed batchId, so they
+    * run CONCURRENTLY (batch wall = max, not sum — the Spark scheduler
+    * interleaves their jobs). Crash-ordering is safe in both directions: if
+    * only the journal committed, replay re-runs the merge (journal append is
+    * a fenced no-op); if only the lake committed, replay re-runs the append
+    * (merge is the no-op). This replaces the reference's strictly serial
+    * data→index→cursor upload (S3Writer.java:61-81) where the serialization
+    * was load-bearing only because its two artifacts shared one cursor.
+    */
   def applyBatch(batch: DataFrame, batchId: Long): Unit = {
     val timing = sys.env.contains("GRAFT_TIMING")
     val t0 = System.nanoTime()
-    if (journalEnabled) journal.append(batch, batchId)
-    val t1 = System.nanoTime()
-    lake.merge(batch, batchId)
+    if (journalEnabled) {
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val j = Future(journal.append(batch, batchId))
+      val m = Future(lake.merge(batch, batchId))
+      Await.result(j, Duration.Inf): Unit
+      Await.result(m, Duration.Inf): Unit
+    } else lake.merge(batch, batchId)
     if (timing) System.err.println(
-      f"[timing] batch $batchId journal=${(t1 - t0) / 1e9}%.2fs merge=${(System.nanoTime() - t1) / 1e9}%.2fs")
+      f"[timing] batch $batchId wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
   }
 
   /** Batch-mode driver for tests and bench: split a static, deterministic
