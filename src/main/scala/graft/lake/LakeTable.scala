@@ -44,8 +44,16 @@ final class LakeTable(
 
   def lastBatchId: Long = io.readSnapshot().map(_.get("batchId").asLong).getOrElse(-1L)
 
+  def currentVersion: Long =
+    io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
+
   private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
     Json.parse(io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+  }
+
+  private def manifestAt(version: Long): Option[JsonNode] = {
+    val p = new Path(io.rootPath, f"manifest-$version%012d.json")
+    if (io.fs.exists(p)) Some(Json.parse(io.readString(p))) else None
   }
 
   /** Per-partition max applied offset (the dedup gate / resume point). */
@@ -55,25 +63,27 @@ final class LakeTable(
       .map(e => e.getKey.toInt -> e.getValue.asLong).toMap
   }
 
-  /** All schema versions ever committed; last is current. */
-  private def schemas(): IndexedSeq[StructType] = manifest() match {
-    case None => IndexedSeq.empty
-    case Some(m) => m.get("schemas").elements().asScala
+  private def schemasOf(m: JsonNode): IndexedSeq[StructType] =
+    m.get("schemas").elements().asScala
       .map(n => DataType.fromJson(n.asText).asInstanceOf[StructType]).toIndexedSeq
-  }
+
+  /** All schema versions ever committed; last is current. */
+  private def schemas(): IndexedSeq[StructType] =
+    manifest().map(schemasOf).getOrElse(IndexedSeq.empty)
 
   def currentSchema: Option[StructType] = schemas().lastOption
 
   private case class FileEntry(partition: Int, sub: Int, path: String,
       schemaId: Int, numRecords: Long)
 
-  private def liveFiles(): Seq[FileEntry] = manifest() match {
-    case None => Seq.empty
-    case Some(m) => m.get("files").elements().asScala.map { f =>
+  private def filesOf(m: JsonNode): Seq[FileEntry] =
+    m.get("files").elements().asScala.map { f =>
       FileEntry(f.get("partition").asInt, f.get("sub").asInt,
         f.get("path").asText, f.get("schemaId").asInt, f.get("num_records").asLong)
     }.toSeq
-  }
+
+  private def liveFiles(): Seq[FileEntry] =
+    manifest().map(filesOf).getOrElse(Seq.empty)
 
   // ---- read ---------------------------------------------------------------
 
@@ -81,7 +91,19 @@ final class LakeTable(
     * read per recorded schema version and aligned (missing columns null,
     * widened casts) — Catalyst sees plain unions of parquet scans.
     */
-  def read(): DataFrame = readFiles(liveFiles())
+  def read(): DataFrame = readFiles(liveFiles(), schemas())
+
+  /** Time travel: the table state as of snapshot `version`, under that
+    * snapshot's schema. Every commit keeps its manifest on disk (the
+    * snapshot pointer only moves forward), so any un-vacuumed version is
+    * readable — the Iceberg snapshot-isolation read, and the audit face of
+    * the reference's append-only offset-named file history.
+    */
+  def readVersion(version: Long): DataFrame = {
+    val m = manifestAt(version).getOrElse(throw new IllegalArgumentException(
+      s"no manifest for version $version at $root (vacuumed or never committed)"))
+    readFiles(filesOf(m), schemasOf(m))
+  }
 
   /** Physical file schema = (partition, offset) provenance + that file's
     * payload schema version.
@@ -92,8 +114,7 @@ final class LakeTable(
         org.apache.spark.sql.types.StructField("offset",
           org.apache.spark.sql.types.LongType, nullable = false)) ++ payload.fields)
 
-  private def readFiles(files: Seq[FileEntry]): DataFrame = {
-    val ss = schemas()
+  private def readFiles(files: Seq[FileEntry], ss: IndexedSeq[StructType]): DataFrame = {
     val target = ss.lastOption.getOrElse(
       throw new IllegalStateException(s"empty lake table at $root"))
     val groups = files.groupBy(_.schemaId)
@@ -180,7 +201,7 @@ final class LakeTable(
     // buckets never leave disk; a file IS one bucket, so reading the touched
     // files is exactly reading the touched buckets)
     val state = if (touchedFiles.isEmpty) None else Some(
-      readFiles(touchedFiles)
+      readFiles(touchedFiles, oldSchemas)
         .withColumn("_sub",
           pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int")))
 
@@ -311,6 +332,35 @@ final class LakeTable(
     snap.put("manifest", manifestRel)
     snap.put("batchId", batchId)
     io.swapSnapshot(Json.write(snap))
+  }
+
+  /** Garbage-collect history: keep the last `keepLast` snapshots readable,
+    * delete data files referenced by no kept manifest and manifests older
+    * than the horizon. Superseded/orphaned files are exactly the reference's
+    * crash leftovers ("orphan data files, correctness holds because the
+    * cursor is the source of truth", SURVEY.md §4) — unreferenced by
+    * construction, so deletion never races a reader of a kept snapshot.
+    * Returns (dataFilesDeleted, manifestsDeleted).
+    */
+  def vacuum(keepLast: Int = 1): (Int, Int) = {
+    require(keepLast >= 1, "must keep at least the current snapshot")
+    val cur = currentVersion
+    if (cur < 0) return (0, 0)
+    val keepFrom = math.max(0L, cur - (keepLast - 1))
+    val live: Set[String] = (keepFrom to cur)
+      .flatMap(v => manifestAt(v).toSeq.flatMap(filesOf(_).map(_.path))).toSet
+    val dataDir = new Path(io.rootPath, "data")
+    val dataDeleted =
+      if (!io.fs.exists(dataDir)) 0
+      else io.fs.listStatus(dataDir).count { st =>
+        val rel = s"data/${st.getPath.getName}"
+        !live.contains(rel) && io.fs.delete(st.getPath, false)
+      }
+    val manifestsDeleted = (0L until keepFrom).count { v =>
+      val p = new Path(io.rootPath, f"manifest-$v%012d.json")
+      io.fs.exists(p) && io.fs.delete(p, false)
+    }
+    (dataDeleted, manifestsDeleted)
   }
 
   /** Per-batch per-partition lineage across all manifests (audit trail). */

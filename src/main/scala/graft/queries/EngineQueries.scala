@@ -122,6 +122,23 @@ object EngineQueries {
         col("content"), col("score"), col("lang"), md5(col("content")).as("content_md5"))
     },
 
+    // snapshot time travel: two batches committed, then read AS OF the first
+    // snapshot — must equal the LWW state over the first batch's offsets only
+    "eng_time_travel" -> { (s, dir) =>
+      val root = workDir("timetravel")
+      val c = CdcQueries.changes(s, dir)
+      val b = c.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+        .collect()(0)
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val base = c.select("partition", "offset", "op", "repo", "path", "content")
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
+      p.applyBatch(base.filter(col("offset") <= mid), 0L)
+      p.applyBatch(base.filter(col("offset") > mid), 1L)
+      p.lake.readVersion(0L).select(col("repo"), col("path"),
+        col("offset").as("last_offset"), md5(col("content")).as("content_md5"))
+    },
+
     // multimodal plumbing: opaque binary payload column + typed metadata,
     // deterministic stub "decode" (md5-derived dimensions — the real decoder
     // would be a library call in mapPartitions; the Spark-side schema,
@@ -144,6 +161,14 @@ object EngineQueries {
   val oracles: Map[String, String] = Map(
     "eng_cdc_merge" -> duckFinalState,
     "eng_cdc_restart" -> duckFinalState,
+
+    "eng_time_travel" -> (CdcQueries.duckChanges +
+      """, b AS (SELECT (min("offset") + max("offset")) // 2 AS mid FROM changes)
+        |SELECT repo, path, last_offset, content_md5 FROM (
+        |  SELECT repo, path, "offset" AS last_offset, md5(content) AS content_md5, op,
+        |         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+        |  FROM changes, b WHERE "offset" <= b.mid) t
+        |WHERE rn = 1 AND op = 'upsert'""".stripMargin),
 
     "eng_schema_evolution" -> (CdcQueries.duckChanges +
       """, b AS (SELECT (min("offset") + max("offset")) // 2 AS mid FROM changes),

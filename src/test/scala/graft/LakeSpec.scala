@@ -52,6 +52,35 @@ class LakeSpec extends AnyFunSuite {
     assert(wm === maxOff)
   }
 
+  test("time travel reads any kept snapshot; vacuum prunes history") {
+    val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
+      deletePct = 15)
+    val lake = new LakeTable(SparkTestSession.tempDir("laketv"), spark, subBuckets = 4)
+    val half0 = changes.filter(col("offset") < 150)
+    lake.merge(half0, 0L)
+    lake.merge(changes.filter(col("offset") >= 150), 1L)
+    assert(lake.currentVersion === 1L)
+
+    // AS OF version 0 == oracle over the first batch only
+    val got = lake.readVersion(0L)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(half0)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // vacuum to the current snapshot: superseded v0-only files and the v0
+    // manifest go away; current state is untouched; v0 is no longer readable
+    val liveCount = lake.read().count()
+    val (dataGone, manifestsGone) = lake.vacuum(keepLast = 1)
+    assert(dataGone > 0, "vacuum must delete superseded bucket files")
+    assert(manifestsGone === 1)
+    assert(lake.read().count() === liveCount)
+    assertMatchesOracle(lake, changes)
+    intercept[IllegalArgumentException](lake.readVersion(0L))
+    // idempotent: nothing left to collect
+    assert(lake.vacuum(keepLast = 1) === ((0, 0)))
+  }
+
   test("crash + restart + full replay is exactly-once (fenced, idempotent)") {
     val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
       deletePct = 10)
