@@ -61,6 +61,31 @@ object AnalyticsQueries {
           col("n_orders"))
     },
 
+    // as-of join: each purchase matched to the user's most recent view at or
+    // before it. Composed from existing ops (SURVEY §2.7 preference (a)):
+    // tag the reference rows, one running MAX over a per-user ordered window
+    // of a zero-padded (ts_us, event_id) string key — lexicographic order ==
+    // numeric order, so the max in the preceding frame IS the as-of match.
+    // One shuffle on user_id, no join at all — the 100 TB shape (a real
+    // as-of equijoin would shuffle both sides on the same key anyway, plus
+    // a per-key merge).
+    "ana_asof_join" -> { (s, dir) =>
+      val ev = t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"))
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("us"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("view_key",
+        when(col("event_type") === "view",
+          format_string("%020d#%012d", col("us"), col("event_id"))))
+        .withColumn("asof", max(col("view_key")).over(w))
+        .filter(col("event_type") === "purchase" && col("asof").isNotNull)
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          substring(col("asof"), 22, 12).cast("long").as("view_id"),
+          (col("us") - substring(col("asof"), 1, 20).cast("long")).as("gap_us"))
+    },
+
     // explicit two-phase salted aggregation (hot-key defence made visible;
     // result provably equals the plain groupBy the oracle runs)
     "ana_salted_agg" -> { (s, dir) =>
@@ -99,6 +124,22 @@ object AnalyticsQueries {
     })
 
   val oracles: Map[String, String] = Map(
+    "ana_asof_join" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+        |         CASE WHEN event_type = 'view'
+        |              THEN printf('%020d#%012d', epoch_us(ts), event_id) END AS view_key
+        |  FROM events
+        |), m AS (
+        |  SELECT *, max(view_key) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |             ROWS UNBOUNDED PRECEDING) AS asof_key
+        |  FROM e
+        |)
+        |SELECT event_id AS purchase_id, user_id,
+        |       CAST(substr(asof_key, 22, 12) AS BIGINT) AS view_id,
+        |       us - CAST(substr(asof_key, 1, 20) AS BIGINT) AS gap_us
+        |FROM m WHERE event_type = 'purchase' AND asof_key IS NOT NULL""".stripMargin,
+
     "ana_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
