@@ -20,8 +20,17 @@ object Portable {
   /** First 15 hex chars of md5 as a non-negative Long (60 bits, no overflow
     * under ANSI mode). DuckDB equivalent:
     * `('0x' || substr(md5(x), 1, 15))::BIGINT`.
+    *
+    * Computed by the custom codegen'd [[Md5Long60]] expression — identical
+    * values to `conv(substring(md5(c), 1, 15), 16, 10)::long` (spec-checked
+    * against that composed form) without the per-row hex-string round trip.
     */
-  def md5Long(c: Column): Column =
+  def md5Long(c: Column): Column = Md5Long60.md5long60(c)
+
+  /** The composed-builtin form of [[md5Long]] — kept as the reference
+    * implementation the custom expression is verified against.
+    */
+  def md5LongReference(c: Column): Column =
     conv(substring(md5(c), 1, 15), 16, 10).cast("long")
 
   /** Deterministic bucket in [0, n). DuckDB: `md5long(x) % n` (md5Long is
