@@ -17,6 +17,7 @@ object ExplainAudit {
   private val audited = Seq(
     "cdc_lww_state", "cdc_chunk_assign", "cdc_offset_skip",
     "ana_pricing_summary", "ana_region_revenue", "ana_top_customers",
+    "ana_asof_join",
     "txt_minhash", "txt_lsh_pairs", "emb_cosine_topk", "emb_lsh_buckets",
     "emb_ivf_topk", "mm_decode_stub", "mm_frame_sample")
 
@@ -27,6 +28,9 @@ object ExplainAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // AQE's formatted explain hides codegen ids behind isFinalPlan=false;
+      // audit the static plan so WholeStageCodegen spans are visible
+      .config("spark.sql.adaptive.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 

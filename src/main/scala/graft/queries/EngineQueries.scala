@@ -122,6 +122,25 @@ object EngineQueries {
         col("content"), col("score"), col("lang"), md5(col("content")).as("content_md5"))
     },
 
+    // per-partition lineage metrics (the north star's audit trail), checked
+    // as data: the lineage rows the lake accumulates across batches must
+    // roll up to exactly the per-partition stats of the raw change log
+    "eng_lineage_metrics" -> { (s, dir) =>
+      val root = workDir("lineage")
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
+      p.runBatches(CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content"), 4)
+      p.lake.lineage()
+        .groupBy(col("partition"))
+        .agg(sum(col("numEvents")).as("events"),
+          sum(col("numUpserts")).as("upserts"),
+          sum(col("numDeletes")).as("deletes"),
+          max(col("lastOffset")).as("high_water"),
+          min(col("firstOffset")).as("first_offset"),
+          countDistinct(col("batchId")).as("n_batches"))
+    },
+
     // snapshot time travel: two batches committed, then read AS OF the first
     // snapshot — must equal the LWW state over the first batch's offsets only
     "eng_time_travel" -> { (s, dir) =>
@@ -161,6 +180,17 @@ object EngineQueries {
   val oracles: Map[String, String] = Map(
     "eng_cdc_merge" -> duckFinalState,
     "eng_cdc_restart" -> duckFinalState,
+
+    "eng_lineage_metrics" -> (CdcQueries.duckChanges +
+      """
+        |SELECT partition,
+        |       count(*) AS events,
+        |       CAST(sum(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS BIGINT) AS upserts,
+        |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
+        |       max("offset") AS high_water,
+        |       min("offset") AS first_offset,
+        |       CAST(4 AS BIGINT) AS n_batches
+        |FROM changes GROUP BY 1""".stripMargin),
 
     "eng_time_travel" -> (CdcQueries.duckChanges +
       """, b AS (SELECT (min("offset") + max("offset")) // 2 AS mid FROM changes)
