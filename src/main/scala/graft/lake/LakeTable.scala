@@ -47,6 +47,17 @@ final class LakeTable(
   def currentVersion: Long =
     io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
 
+  /** The table's live bucket count — table metadata, not caller choice: the
+    * manifest value (set at first commit, changed only by [[compact]]) wins
+    * over the constructor default, so a re-bucketing survives restarts.
+    */
+  def layoutSubBuckets: Int = manifest()
+    .flatMap(m => Option(m.get("subBuckets")).map(_.asInt))
+    .getOrElse(subBuckets)
+
+  private def subExpr(n: Int) =
+    pmod(xxhash64(col("repo"), col("path")), lit(n.toLong)).cast("int")
+
   private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
     Json.parse(io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
   }
@@ -167,8 +178,8 @@ final class LakeTable(
       else oldSchemas :+ target
     val schemaId = newSchemas.size - 1
 
-    val withSub = deduped.withColumn("_sub",
-      pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int"))
+    val sb = layoutSubBuckets
+    val withSub = deduped.withColumn("_sub", subExpr(sb))
 
     // ONE aggregation job yields both the per-partition lineage stats
     // (grouped on the driver — watermarks must advance over deletes too) and
@@ -182,7 +193,7 @@ final class LakeTable(
     mark("stats")
     if (bucketRows.isEmpty) {
       deduped.unpersist()
-      commit(liveFiles(), wm, newSchemas, batchId, Nil)
+      commit(liveFiles(), wm, newSchemas, batchId, Nil, sb)
       return 0L
     }
     // partition-level rollup: (partition, maxOff, minOff, n, nUp)
@@ -201,9 +212,7 @@ final class LakeTable(
     // buckets never leave disk; a file IS one bucket, so reading the touched
     // files is exactly reading the touched buckets)
     val state = if (touchedFiles.isEmpty) None else Some(
-      readFiles(touchedFiles, oldSchemas)
-        .withColumn("_sub",
-          pmod(xxhash64(col("repo"), col("path")), lit(subBuckets.toLong)).cast("int")))
+      readFiles(touchedFiles, oldSchemas).withColumn("_sub", subExpr(sb)))
 
     // MERGE: new versions win over state rows for the same key; deletes drop
     def shape(df: DataFrame): DataFrame = {
@@ -290,7 +299,7 @@ final class LakeTable(
     val lineage = statRows.map { case (p, maxOff, minOff, n, nUp) =>
       graft.model.LineageRow(batchId, p, minOff, maxOff, n, nUp, n - nUp)
     }
-    commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage)
+    commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage, sb)
     deduped.unpersist()
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
@@ -299,11 +308,12 @@ final class LakeTable(
 
   private def commit(files: Seq[FileEntry], wm: Map[Int, Long],
       schemaVersions: IndexedSeq[StructType], batchId: Long,
-      lineage: Seq[graft.model.LineageRow]): Unit = {
+      lineage: Seq[graft.model.LineageRow], sub: Int): Unit = {
     val version = io.readSnapshot().map(_.get("version").asLong + 1).getOrElse(0L)
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
+    m.put("subBuckets", sub)
     val wmNode = m.putObject("watermarks")
     wm.toSeq.sortBy(_._1).foreach { case (p, o) => wmNode.put(p.toString, o) }
     val sArr = m.putArray("schemas")
@@ -361,6 +371,48 @@ final class LakeTable(
       io.fs.exists(p) && io.fs.delete(p, false)
     }
     (dataDeleted, manifestsDeleted)
+  }
+
+  /** Re-bucket the table to a new sub-bucket count — the rewrite-
+    * amplification knob turned at runtime: more buckets = smaller COW
+    * rewrites per touched key at 10^10 scale, fewer buckets = fewer files.
+    * One job rewrites every live row under the new layout; the new count is
+    * committed as table metadata, so subsequent merges (from any pipeline
+    * instance) bucket against it. Watermarks, schema history and batch
+    * fencing are untouched — compaction is a layout change, not a data batch.
+    */
+  def compact(newSubBuckets: Int): Unit = {
+    require(newSubBuckets >= 1)
+    val m = manifest().getOrElse(
+      throw new IllegalStateException(s"cannot compact empty table at $root"))
+    val ss = schemasOf(m)
+    val version = currentVersion + 1
+    val staging = new Path(io.rootPath, s"_staging/compact-$version")
+    io.fs.delete(staging, true)
+    readFiles(filesOf(m), ss)
+      .withColumn("_sub", subExpr(newSubBuckets))
+      .repartition(col("partition"), col("_sub"))
+      .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
+      .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
+      .drop("_sub")
+      .write.mode("overwrite").partitionBy("_pp", "_ss")
+      .parquet(staging.toString)
+    val entries = (for {
+      pDir <- io.fs.listStatus(staging).toSeq
+      if pDir.getPath.getName.startsWith("_pp=")
+      sDir <- io.fs.listStatus(pDir.getPath).toSeq
+      if sDir.getPath.getName.startsWith("_ss=")
+    } yield {
+      val p = pDir.getPath.getName.stripPrefix("_pp=").toInt
+      val sub = sDir.getPath.getName.stripPrefix("_ss=").toInt
+      val rel = f"data/part-$p%05d-s$sub%04d-c$version%012d.parquet"
+      val dest = new Path(io.rootPath, rel)
+      io.promoteSingleFile(sDir.getPath, dest)
+      FileEntry(p, sub, rel, ss.size - 1, io.parquetRowCount(dest))
+    }).sortBy(f => (f.partition, f.sub))
+    io.fs.delete(staging, true)
+    io.fs.delete(new Path(io.rootPath, "_staging"), true)
+    commit(entries, watermarks(), ss, lastBatchId, Nil, newSubBuckets)
   }
 
   /** Per-batch per-partition lineage across all manifests (audit trail). */

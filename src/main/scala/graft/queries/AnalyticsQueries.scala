@@ -110,6 +110,17 @@ object AnalyticsQueries {
         .agg(sum(col("new_session")).as("n_sessions"), count(lit(1)).as("n_events"))
     },
 
+    // rollup / grouping sets: revenue at (status, priority), (status), ()
+    // levels in one pass — partial aggregation handles all levels map-side
+    "ana_rollup" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .rollup(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+          count(lit(1)).as("n"),
+          grouping_id(col("o_orderstatus"), col("o_orderpriority"))
+            .cast("int").as("lvl"))
+    },
+
     // anti/semi join surface: customers with and without orders
     "ana_customer_activity" -> { (s, dir) =>
       val customer = t(s, dir, "customer")
@@ -139,6 +150,14 @@ object AnalyticsQueries {
         |       CAST(substr(asof_key, 22, 12) AS BIGINT) AS view_id,
         |       us - CAST(substr(asof_key, 1, 20) AS BIGINT) AS gap_us
         |FROM m WHERE event_type = 'purchase' AND asof_key IS NOT NULL""".stripMargin,
+
+    "ana_rollup" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue,
+        |       count(*) AS n,
+        |       CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS lvl
+        |FROM orders
+        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "ana_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

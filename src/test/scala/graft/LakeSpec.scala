@@ -81,6 +81,31 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.vacuum(keepLast = 1) === ((0, 0)))
   }
 
+  test("compact re-buckets; new layout is table metadata and survives merges") {
+    val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
+      deletePct = 10)
+    val lake = new LakeTable(SparkTestSession.tempDir("lakecp"), spark, subBuckets = 4)
+    val half0 = changes.filter(col("offset") < 150)
+    lake.merge(half0, 0L)
+    assert(lake.layoutSubBuckets === 4)
+
+    lake.compact(8)
+    assert(lake.layoutSubBuckets === 8)
+    // state unchanged by the layout change
+    val got = lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(half0)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+
+    // a NEW pipeline instance constructed with the stale default must merge
+    // against the committed layout, not its constructor arg
+    val lake2 = new LakeTable(lake.root, spark, subBuckets = 4)
+    lake2.merge(changes.filter(col("offset") >= 150), 1L)
+    assert(lake2.layoutSubBuckets === 8)
+    assertMatchesOracle(lake2, changes)
+  }
+
   test("crash + restart + full replay is exactly-once (fenced, idempotent)") {
     val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
       deletePct = 10)
