@@ -122,6 +122,28 @@ object EngineQueries {
         col("content"), col("score"), col("lang"), md5(col("content")).as("content_md5"))
     },
 
+    // the actual Structured Streaming path: change log shipped as ordered
+    // slice files, tailed by the file source (AvailableNow), ingested via
+    // checkpointed foreachBatch — final lake state vs the DuckDB LWW oracle
+    "eng_streaming_ingest" -> { (s, dir) =>
+      val root = workDir("streaming")
+      val changes = CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content")
+      val b = changes.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val span = math.max(1L, (hi - lo + 4) / 4)
+      (0 until 4).foreach { i => // binlog shipper: offset-ordered slice files
+        changes.filter(col("offset") >= lo + i * span && col("offset") < lo + (i + 1) * span)
+          .coalesce(1).write.mode("append").parquet(s"$root/src")
+      }
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8)
+      p.stream(s"$root/src", s"$root/ckpt", changes.schema, maxFilesPerTrigger = 2)
+        .awaitTermination()
+      finalState(p.lake)
+    },
+
     // per-partition lineage metrics (the north star's audit trail), checked
     // as data: the lineage rows the lake accumulates across batches must
     // roll up to exactly the per-partition stats of the raw change log
@@ -180,6 +202,7 @@ object EngineQueries {
   val oracles: Map[String, String] = Map(
     "eng_cdc_merge" -> duckFinalState,
     "eng_cdc_restart" -> duckFinalState,
+    "eng_streaming_ingest" -> duckFinalState,
 
     "eng_lineage_metrics" -> (CdcQueries.duckChanges +
       """
