@@ -159,6 +159,18 @@ object TextQueries {
           .reduce(_ + _).as("simhash"))
     },
 
+    // HLL++ sketch surface: approximate distinct tokens per source next to
+    // the exact count (the approx column has no cross-engine oracle — the
+    // driver records a rows-only check; the exact columns anchor sanity)
+    "txt_approx_distinct" -> { (s, dir) =>
+      docs(s, dir)
+        .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("word"))
+        .groupBy(col("source"))
+        .agg(countDistinct(col("word")).as("exact_distinct"),
+          approx_count_distinct(col("word"), 0.01).as("approx_distinct"),
+          count(lit(1)).as("n_tokens"))
+    },
+
     // document fingerprint: md5 of whitespace-normalized text
     "txt_fingerprint" -> { (s, dir) =>
       docs(s, dir).select(col("doc_id"),
