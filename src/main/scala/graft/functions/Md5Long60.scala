@@ -26,8 +26,8 @@ final case class Md5Long60(child: Expression) extends UnaryExpression {
 
   // input is always BinaryType: the only constructor path is the registry
   // builder below, which wraps the argument in Cast(_, BinaryType)
-  require(child.dataType == BinaryType || !child.resolved,
-    s"md5long60 requires binary input, got ${child.dataType}")
+  require(!child.resolved || child.dataType == BinaryType,
+    s"md5long60 requires binary input")
   override def dataType: DataType = LongType
   override def prettyName: String = "md5long60"
 
@@ -67,7 +67,11 @@ object Md5Long60 {
   def register(spark: SparkSession): Unit =
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "md5long60",
-      (args: Seq[Expression]) => Md5Long60(Cast(args.head, BinaryType)),
+      (args: Seq[Expression]) => {
+        if (args.length != 1) throw new IllegalArgumentException(
+          s"md5long60 expects exactly 1 argument, got ${args.length}")
+        Md5Long60(Cast(args.head, BinaryType))
+      },
       "scala_udf")
 
   /** Column API over the registered function. */

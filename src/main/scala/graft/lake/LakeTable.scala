@@ -366,12 +366,25 @@ final class LakeTable(
         val rel = s"data/${st.getPath.getName}"
         !live.contains(rel) && io.fs.delete(st.getPath, false)
       }
+    // the audit trail outlives snapshot retention: roll the lineage rows of
+    // manifests about to be GC'd into the archive BEFORE deleting them
+    val doomed = (0L until keepFrom).flatMap(manifestAt)
+    if (doomed.nonEmpty) {
+      val archive = archivePath
+      val acc = if (io.fs.exists(archive))
+        Json.parse(io.readString(archive)).asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      else Json.arr()
+      doomed.foreach(_.get("lineage").elements().asScala.foreach(acc.add))
+      io.writeString(archive, Json.write(acc))
+    }
     val manifestsDeleted = (0L until keepFrom).count { v =>
       val p = new Path(io.rootPath, f"manifest-$v%012d.json")
       io.fs.exists(p) && io.fs.delete(p, false)
     }
     (dataDeleted, manifestsDeleted)
   }
+
+  private def archivePath = new Path(io.rootPath, "lineage-archive.json")
 
   /** Re-bucket the table to a new sub-bucket count — the rewrite-
     * amplification knob turned at runtime: more buckets = smaller COW
@@ -415,20 +428,22 @@ final class LakeTable(
     commit(entries, watermarks(), ss, lastBatchId, Nil, newSubBuckets)
   }
 
-  /** Per-batch per-partition lineage across all manifests (audit trail). */
+  /** Per-batch per-partition lineage (audit trail): the vacuum archive's
+    * rows plus every surviving manifest's — the trail outlives snapshot GC.
+    */
   def lineage(): DataFrame = {
-    val io2 = io
-    val rows = (0L to io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L))
-      .flatMap { v =>
-        val p = new Path(io2.rootPath, f"manifest-$v%012d.json")
-        if (!io2.fs.exists(p)) Nil
-        else Json.parse(io2.readString(p)).get("lineage").elements().asScala.map { l =>
-          graft.model.LineageRow(l.get("batchId").asLong, l.get("partition").asInt,
-            l.get("firstOffset").asLong, l.get("lastOffset").asLong,
-            l.get("numEvents").asLong, l.get("numUpserts").asLong,
-            l.get("numDeletes").asLong)
-        }
+    def rowsOf(n: JsonNode): Iterator[graft.model.LineageRow] =
+      n.elements().asScala.map { l =>
+        graft.model.LineageRow(l.get("batchId").asLong, l.get("partition").asInt,
+          l.get("firstOffset").asLong, l.get("lastOffset").asLong,
+          l.get("numEvents").asLong, l.get("numUpserts").asLong,
+          l.get("numDeletes").asLong)
       }
-    spark.createDataFrame(rows)
+    val archived =
+      if (!io.fs.exists(archivePath)) Seq.empty
+      else rowsOf(Json.parse(io.readString(archivePath))).toSeq
+    val liveRows = (0L to currentVersion).flatMap(v =>
+      manifestAt(v).toSeq.flatMap(m => rowsOf(m.get("lineage"))))
+    spark.createDataFrame(archived ++ liveRows)
   }
 }

@@ -16,10 +16,11 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *   RetriableException redeliver → Spark batch retry, safe because both the
   *     journal append and the lake merge are idempotent per batchId
   *
-  * Crash between the two commits inside a batch is safe: the journal commits
-  * first; on replay the journal skips (fenced) and the merge either applies
-  * (if it hadn't) or skips. Both fence on the same batchId, so the pair is
-  * effectively atomic under at-least-once redelivery.
+  * Crash with only one of the two commits landed is safe in EITHER order
+  * (they run concurrently, see applyBatch): each table fences on its own
+  * committed batchId, so on replay the landed side is a no-op and the other
+  * side applies — the pair is effectively atomic under at-least-once
+  * redelivery without requiring journal-before-lake ordering.
   */
 final class CdcPipeline(
     spark: SparkSession,
@@ -51,11 +52,17 @@ final class CdcPipeline(
       import scala.concurrent.{Await, Future}
       import scala.concurrent.duration.Duration
       import scala.concurrent.ExecutionContext.Implicits.global
+      import scala.util.Try
       val j = Future(journal.append(batch, batchId))
       val m = Future(lake.merge(batch, batchId))
-      Await.result(j, Duration.Inf): Unit
-      Await.result(m, Duration.Inf): Unit
-    } else lake.merge(batch, batchId)
+      // settle BOTH before propagating any failure: rethrowing while the
+      // other future is still running would leave an orphaned merge/append
+      // racing the retried batch (same staging dir, same batchId fence)
+      val jr = Try(Await.result(j, Duration.Inf))
+      val mr = Try(Await.result(m, Duration.Inf))
+      jr.get: Unit
+      mr.get: Unit
+    } else lake.merge(batch, batchId): Unit
     if (timing) System.err.println(
       f"[timing] batch $batchId wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
   }

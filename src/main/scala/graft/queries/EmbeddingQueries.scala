@@ -42,18 +42,20 @@ object EmbeddingQueries {
     * literals instead of being re-derived per row (64 dims × 8 planes =
     * 512 md5 calls per row otherwise — pure waste at 100 TB).
     */
-  private def planeSign(i: Int, j: Int): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val hex = md.digest(s"$i~$j".getBytes("UTF-8")).map(b => f"$b%02x").mkString
-    if (java.lang.Long.parseLong(hex.take(15), 16) % 2 == 0) 1L else -1L
-  }
+  private def planeSign(i: Int, j: Int): Long =
+    if (graft.functions.Md5Long60.compute(s"$i~$j".getBytes("UTF-8")) % 2 == 0) 1L
+    else -1L
 
   /** 8-bit LSH bucket: sign of the dot product with 8 deterministic
     * hyperplanes, whose coefficients are ±1 from md5(dim || '~' || plane).
     */
   private def withBucket(v: DataFrame): DataFrame = {
-    // vector length probed once at plan time (all rows share it)
-    val dims = v.select(size(col("v"))).head().getInt(0)
+    // vector length probed once at plan time — the embeddings table is
+    // fixed-dimension by contract (a ragged row would null-pad the zip and
+    // zero its bits). Empty input keeps a nominal dims so the (empty) plan
+    // still builds.
+    val dims = v.select(size(col("v"))).head(1).headOption
+      .map(_.getInt(0)).getOrElse(1)
     val planeBit = (j: Int) => {
       val signs = typedlit((0 until dims).map(i => planeSign(i, j)))
       val signedSum = aggregate(

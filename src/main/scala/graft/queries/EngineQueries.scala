@@ -133,9 +133,25 @@ object EngineQueries {
         .collect()(0)
       val (lo, hi) = (b.getLong(0), b.getLong(1))
       val span = math.max(1L, (hi - lo + 4) / 4)
-      (0 until 4).foreach { i => // binlog shipper: offset-ordered slice files
+      // binlog shipper: offset-ordered slice files. FileStreamSource orders
+      // by mtime with arbitrary tie-break, so stamp strictly increasing
+      // mtimes explicitly — slices written within the fs timestamp
+      // granularity must still arrive in offset order.
+      val srcPath = new org.apache.hadoop.fs.Path(s"$root/src")
+      val fsys = srcPath.getFileSystem(s.sparkContext.hadoopConfiguration)
+      val stamped = scala.collection.mutable.Set[String]()
+      var base = 0L
+      (0 until 4).foreach { i =>
         changes.filter(col("offset") >= lo + i * span && col("offset") < lo + (i + 1) * span)
           .coalesce(1).write.mode("append").parquet(s"$root/src")
+        fsys.listStatus(srcPath).foreach { st =>
+          val n = st.getPath.getName
+          if (n.startsWith("part-") && !stamped.contains(n)) {
+            if (base == 0L) base = st.getModificationTime
+            fsys.setTimes(st.getPath, base + i, -1)
+            stamped += n
+          }
+        }
       }
       val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
         chunkBytes = 8192, subBuckets = 8)

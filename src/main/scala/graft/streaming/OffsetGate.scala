@@ -28,11 +28,14 @@ object OffsetGate {
       events: Iterator[ChangeEvent],
       state: GroupState[Long]): Iterator[ChangeEvent] = {
     var hi = state.getOption.getOrElse(Long.MinValue)
+    // The shuffle feeding groupByKey does NOT preserve source order, so the
+    // group's events are re-sorted by offset before gating — otherwise a
+    // fresh lower offset arriving after a higher one would be dropped as a
+    // regression. Buffering one partition's slice of one micro-batch is the
+    // same bound as the reference's put() buffer (S3SinkTask.java:106-118).
+    val ordered = events.toArray.sortInPlaceBy(_.offset)
     val out = Vector.newBuilder[ChangeEvent]
-    // single pass: the CDC source delivers each partition offset-ordered
-    // (Kafka's contract), so a strictly-greater check both dedups redelivery
-    // and drops regressions
-    events.foreach { e =>
+    ordered.foreach { e =>
       if (e.offset > hi) { hi = e.offset; out += e }
     }
     if (state.getOption.forall(_ < hi)) state.update(hi)

@@ -71,14 +71,18 @@ class LakeSpec extends AnyFunSuite {
     // vacuum to the current snapshot: superseded v0-only files and the v0
     // manifest go away; current state is untouched; v0 is no longer readable
     val liveCount = lake.read().count()
+    val lineageBefore = lake.lineage().count()
     val (dataGone, manifestsGone) = lake.vacuum(keepLast = 1)
     assert(dataGone > 0, "vacuum must delete superseded bucket files")
     assert(manifestsGone === 1)
     assert(lake.read().count() === liveCount)
     assertMatchesOracle(lake, changes)
     intercept[IllegalArgumentException](lake.readVersion(0L))
+    // the audit trail outlives snapshot GC (archived from doomed manifests)
+    assert(lake.lineage().count() === lineageBefore)
     // idempotent: nothing left to collect
     assert(lake.vacuum(keepLast = 1) === ((0, 0)))
+    assert(lake.lineage().count() === lineageBefore)
   }
 
   test("compact re-buckets; new layout is table metadata and survives merges") {
