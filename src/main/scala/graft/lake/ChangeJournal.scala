@@ -31,7 +31,8 @@ import scala.jdk.CollectionConverters._
 final class ChangeJournal(
     val root: String,
     spark: SparkSession,
-    val chunkBytes: Long = 64L * 1024 * 1024) {
+    val chunkBytes: Long = 64L * 1024 * 1024,
+    val appId: String = "graft") {
 
   private val io = new TableIO(root, spark)
 
@@ -39,6 +40,16 @@ final class ChangeJournal(
 
   /** committed batch id, or -1 for a fresh table */
   def lastBatchId: Long = io.readSnapshot().map(_.get("batchId").asLong).getOrElse(-1L)
+
+  /** Same writer AND batch id at or below committed (see LakeTable.isReplay:
+    * a new appId's restarted numbering must not be swallowed as replays —
+    * the offset gate still dedups its rows).
+    */
+  private def isReplay(batchId: Long): Boolean = {
+    val sameApp = io.readSnapshot()
+      .flatMap(s => Option(s.get("appId")).map(_.asText)).getOrElse(appId) == appId
+    sameApp && batchId <= lastBatchId
+  }
 
   private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
     Json.parse(io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
@@ -53,16 +64,6 @@ final class ChangeJournal(
     case Some(m) =>
       m.get("partitions").fields().asScala
         .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
-  }
-
-  /** Per-partition cumulative uncompressed bytes (chunk ids continue across
-    * appends, like the reference's per-file byte_offset continuation).
-    */
-  private def byteBases(): Map[Int, Long] = manifest() match {
-    case None => Map.empty
-    case Some(m) =>
-      m.get("partitions").fields().asScala
-        .map(e => e.getKey.toInt -> e.getValue.get("bytesTotal").asLong).toMap
   }
 
   private def liveFiles(): Seq[JsonNode] =
@@ -80,11 +81,16 @@ final class ChangeJournal(
     * Returns the number of rows appended.
     */
   def append(batch: DataFrame, batchId: Long): Long = {
-    val committed = lastBatchId
-    if (batchId <= committed) return 0L // fenced replay: already durable
+    // journal stores exactly the batch's schema (schema-flexible: evolved
+    // payload columns flow straight through; only the meta trio is required
+    // — validate BEFORE any plan references the columns)
+    val required = Seq("partition", "offset", "op")
+    require(required.forall(batch.columns.contains),
+      s"change batch must carry ${required.mkString(",")}; got ${batch.columns.mkString(",")}")
+
+    if (isReplay(batchId)) return 0L // fenced replay: already durable
 
     val next = nextOffsets()
-    val bases = byteBases()
     val parts = batch.sparkSession.createDataFrame(
       next.toSeq.map { case (p, o) => (p, o) })
       .toDF("partition", "_next")
@@ -97,9 +103,11 @@ final class ChangeJournal(
     // per partition), exactly like the reference where every flushed .gz file
     // carries its own chunk list starting at byte 0 (BlockGZIPFileWriter is
     // created anew per PartitionWriter, S3SinkTask.java:173-178).
-    // Persisted: scanned twice (chunk stats collect + data-file write).
+    // Persisted: scanned twice (chunk stats collect + data-file write);
+    // try/finally so a failed batch doesn't leak a cached copy per retry.
     val fresh = Chunker.assignChunks(fresh0.drop("_next"), chunkBytes)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // per-file (= per partition per append) and per-chunk stats, one pass
     val chunkStats = fresh.groupBy(col("partition"), col("chunk_id")).agg(
@@ -109,16 +117,10 @@ final class ChangeJournal(
       sum(col("bytes_uncompressed")).as("byte_length_uncompressed"))
       .collect()
     if (chunkStats.isEmpty) {
-      fresh.unpersist()
-      commitManifest(liveFiles(), next, bases, batchId)
+      commitManifest(liveFiles(), next, batchId)
       return 0L
     }
 
-    // journal stores exactly the batch's schema (schema-flexible: evolved
-    // payload columns flow straight through; only the meta trio is required)
-    val required = Seq("partition", "offset", "op")
-    require(required.forall(batch.columns.contains),
-      s"change batch must carry ${required.mkString(",")}; got ${batch.columns.mkString(",")}")
     val dataCols = batch.columns.toSeq
     val staging = new Path(io.rootPath, s"_staging/append-$batchId")
     io.fs.delete(staging, true)
@@ -169,30 +171,26 @@ final class ChangeJournal(
     }
     io.fs.delete(staging, true)
     io.fs.delete(new Path(io.rootPath, "_staging"), true)
-    fresh.unpersist()
 
     val newNext = next ++ byPartition.map { case (p, chunks) =>
       p -> (chunks.map(_.getLong(4)).max + 1L)
     }
-    val newBases = bases ++ byPartition.map { case (p, chunks) =>
-      p -> (bases.getOrElse(p, 0L) + chunks.map(_.getLong(5)).sum)
-    }
-    commitManifest(liveFiles() ++ newFiles, newNext, newBases, batchId)
+    commitManifest(liveFiles() ++ newFiles, newNext, batchId)
     appended
+    } finally fresh.unpersist()
   }
 
   private def commitManifest(
-      files: Seq[JsonNode], next: Map[Int, Long], bases: Map[Int, Long],
-      batchId: Long): Unit = {
+      files: Seq[JsonNode], next: Map[Int, Long], batchId: Long): Unit = {
     val version = io.readSnapshot().map(_.get("version").asLong + 1).getOrElse(0L)
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
+    m.put("appId", appId)
     val pn = m.putObject("partitions")
-    next.keySet.union(bases.keySet).toSeq.sorted.foreach { p =>
+    next.keySet.toSeq.sorted.foreach { p =>
       val o = pn.putObject(p.toString)
       o.put("nextOffset", next.getOrElse(p, 0L))
-      o.put("bytesTotal", bases.getOrElse(p, 0L))
     }
     val fa = m.putArray("files")
     files.foreach(fa.add)
@@ -202,6 +200,7 @@ final class ChangeJournal(
     snap.put("version", version)
     snap.put("manifest", manifestRel)
     snap.put("batchId", batchId)
+    snap.put("appId", appId)
     io.swapSnapshot(Json.write(snap))
   }
 
@@ -221,12 +220,28 @@ final class ChangeJournal(
     * parquet row-group stats prune the rest.
     */
   def readFrom(committed: Map[Int, Long]): DataFrame = {
-    val files = liveFiles().filter { f =>
+    val all = liveFiles()
+    val files = all.filter { f =>
       committed.get(f.get("partition").asInt)
         .forall(c => f.get("max_offset").asLong > c)
     }
-    if (files.isEmpty)
-      return spark.emptyDataFrame // no schema consumers: guarded by callers
+    if (files.isEmpty) {
+      // fully-caught-up resume must still carry the journal's schema, not a
+      // zero-column frame (downstream selects/aggs would fail to resolve)
+      val schema =
+        if (all.isEmpty) org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("partition",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType)))
+        else spark.read.option("mergeSchema", "true")
+          .parquet(all.map(f => new Path(io.rootPath, f.get("path").asText).toString): _*)
+          .schema
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    }
     val pathsAbs = files.map(f => new Path(io.rootPath, f.get("path").asText).toString)
     // mergeSchema: appends may add payload columns over time (additive only;
     // type widening is the lake table's job, which tracks schema versions)

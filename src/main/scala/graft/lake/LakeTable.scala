@@ -32,10 +32,22 @@ import scala.jdk.CollectionConverters._
   * files are read under their recorded schema id then aligned — no file
   * rewrite on evolution.
   */
+/** @param appId writer identity for epoch fencing (the Delta txnAppId
+  *   pattern): a batchId only fences a replay from the SAME app — a new
+  *   checkpoint/app restarts batch numbering at 0 and must not have its
+  *   fresh batches silently swallowed as "replays". Cross-app duplicate
+  *   rows are still dropped by the per-partition offset watermarks.
+  *
+  * Hard precondition (the Kafka key→partition contract the reference
+  * inherits, SURVEY.md §1.1): a given (repo, path) key appears in exactly
+  * ONE partition for its lifetime. MERGE dedups within (partition, bucket);
+  * a key that migrated partitions would leave a stale live row behind.
+  */
 final class LakeTable(
     val root: String,
     spark: SparkSession,
-    val subBuckets: Int = 16) {
+    val subBuckets: Int = 16,
+    val appId: String = "graft") {
 
   private val io = new TableIO(root, spark)
 
@@ -43,6 +55,17 @@ final class LakeTable(
   private val metaCols = Seq("partition", "offset", "_sub")
 
   def lastBatchId: Long = io.readSnapshot().map(_.get("batchId").asLong).getOrElse(-1L)
+
+  /** appId of the last commit (missing on old manifests ⇒ same-app). */
+  private def lastAppId: String = io.readSnapshot()
+    .flatMap(s => Option(s.get("appId")).map(_.asText)).getOrElse(appId)
+
+  /** Replay fence: same writer identity AND a batch id at or below the
+    * committed one. A different appId is a new writer whose numbering
+    * restarted — its data passes the fence and dedups on watermarks.
+    */
+  private def isReplay(batchId: Long): Boolean =
+    lastAppId == appId && batchId <= lastBatchId
 
   def currentVersion: Long =
     io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
@@ -147,7 +170,7 @@ final class LakeTable(
     * was fenced off as a replay.
     */
   def merge(batch: DataFrame, batchId: Long): Long = {
-    if (batchId <= lastBatchId) return -1L // epoch fence: replayed batch
+    if (isReplay(batchId)) return -1L // epoch fence: replayed batch
     val timing = sys.env.contains("GRAFT_TIMING")
     var tMark = System.nanoTime()
     def mark(tag: String): Unit = if (timing) {
@@ -163,8 +186,11 @@ final class LakeTable(
         .filter(col("_wm").isNull || col("offset") > col("_wm"))
         .drop("_wm")
     }
-    // the batch is scanned twice (lineage stats + LWW reduce): cache it
+    // the batch is scanned twice (lineage stats + LWW reduce): cache it.
+    // try/finally: a failed batch is retried by Spark — leaking one cached
+    // copy per attempt would fill executor storage on a long stream
     val deduped = deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
 
     // schema evolution: merge incoming payload schema into the lake schema
     val incomingSchema = StructType(
@@ -192,7 +218,6 @@ final class LakeTable(
       .collect()
     mark("stats")
     if (bucketRows.isEmpty) {
-      deduped.unpersist()
       commit(liveFiles(), wm, newSchemas, batchId, Nil, sb)
       return 0L
     }
@@ -288,8 +313,18 @@ final class LakeTable(
         }))
       }
       futs.flatMap { case (p, s, f) =>
-        f.get().map { case (rel, n) => FileEntry(p, s, rel, schemaId, n) }
+        try f.get().map { case (rel, n) => FileEntry(p, s, rel, schemaId, n) }
+        catch { // surface the real cause, not the ExecutionException wrapper
+          case e: java.util.concurrent.ExecutionException => throw e.getCause
+        }
       }
+    } catch {
+      case t: Throwable =>
+        // cancel in-flight promotes before the batch retry touches the same
+        // staging dir and deterministic destination paths
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS): Unit
+        throw t
     } finally pool.shutdown()
     io.fs.delete(staging, true)
     io.fs.delete(new Path(io.rootPath, "_staging"), true)
@@ -300,10 +335,10 @@ final class LakeTable(
       graft.model.LineageRow(batchId, p, minOff, maxOff, n, nUp, n - nUp)
     }
     commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage, sb)
-    deduped.unpersist()
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
     statRows.map(_._4).sum
+    } finally deduped.unpersist()
   }
 
   private def commit(files: Seq[FileEntry], wm: Map[Int, Long],
@@ -313,6 +348,7 @@ final class LakeTable(
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
+    m.put("appId", appId)
     m.put("subBuckets", sub)
     val wmNode = m.putObject("watermarks")
     wm.toSeq.sortBy(_._1).foreach { case (p, o) => wmNode.put(p.toString, o) }
@@ -341,6 +377,7 @@ final class LakeTable(
     snap.put("version", version)
     snap.put("manifest", manifestRel)
     snap.put("batchId", batchId)
+    snap.put("appId", appId)
     io.swapSnapshot(Json.write(snap))
   }
 
@@ -357,6 +394,7 @@ final class LakeTable(
     val cur = currentVersion
     if (cur < 0) return (0, 0)
     val keepFrom = math.max(0L, cur - (keepLast - 1))
+    val horizon = gcHorizon // versions below this were GC'd by earlier vacuums
     val live: Set[String] = (keepFrom to cur)
       .flatMap(v => manifestAt(v).toSeq.flatMap(filesOf(_).map(_.path))).toSet
     val dataDir = new Path(io.rootPath, "data")
@@ -367,24 +405,39 @@ final class LakeTable(
         !live.contains(rel) && io.fs.delete(st.getPath, false)
       }
     // the audit trail outlives snapshot retention: roll the lineage rows of
-    // manifests about to be GC'd into the archive BEFORE deleting them
-    val doomed = (0L until keepFrom).flatMap(manifestAt)
+    // manifests about to be GC'd into the archive BEFORE deleting them.
+    // Idempotent (keyed by (batchId, partition)) so a crash-rerun doesn't
+    // duplicate; atomic write so a crash never corrupts the archive.
+    val doomed = (horizon until keepFrom).flatMap(manifestAt)
     if (doomed.nonEmpty) {
-      val archive = archivePath
-      val acc = if (io.fs.exists(archive))
-        Json.parse(io.readString(archive)).asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+      val acc = if (io.fs.exists(archivePath))
+        Json.parse(io.readString(archivePath)).asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
       else Json.arr()
-      doomed.foreach(_.get("lineage").elements().asScala.foreach(acc.add))
-      io.writeString(archive, Json.write(acc))
+      val seen = acc.elements().asScala
+        .map(l => (l.get("batchId").asLong, l.get("partition").asInt)).toSet
+      doomed.foreach(_.get("lineage").elements().asScala.foreach { l =>
+        if (!seen.contains((l.get("batchId").asLong, l.get("partition").asInt)))
+          acc.add(l): Unit
+      })
+      io.writeAtomic(archivePath, Json.write(acc))
     }
-    val manifestsDeleted = (0L until keepFrom).count { v =>
+    val manifestsDeleted = (horizon until keepFrom).count { v =>
       val p = new Path(io.rootPath, f"manifest-$v%012d.json")
       io.fs.exists(p) && io.fs.delete(p, false)
     }
+    if (keepFrom > horizon) // O(keepLast) future walks, not O(lifetime)
+      io.writeAtomic(horizonPath, keepFrom.toString)
     (dataDeleted, manifestsDeleted)
   }
 
   private def archivePath = new Path(io.rootPath, "lineage-archive.json")
+  private def horizonPath = new Path(io.rootPath, "gc-horizon.txt")
+
+  /** Oldest snapshot version that may still exist (everything below was
+    * vacuumed). Bounds lineage()/vacuum() walks to O(retained versions).
+    */
+  private def gcHorizon: Long =
+    if (io.fs.exists(horizonPath)) io.readString(horizonPath).trim.toLong else 0L
 
   /** Re-bucket the table to a new sub-bucket count — the rewrite-
     * amplification knob turned at runtime: more buckets = smaller COW
@@ -442,8 +495,10 @@ final class LakeTable(
     val archived =
       if (!io.fs.exists(archivePath)) Seq.empty
       else rowsOf(Json.parse(io.readString(archivePath))).toSeq
-    val liveRows = (0L to currentVersion).flatMap(v =>
+    val liveRows = (gcHorizon to currentVersion).flatMap(v =>
       manifestAt(v).toSeq.flatMap(m => rowsOf(m.get("lineage"))))
-    spark.createDataFrame(archived ++ liveRows)
+    // distinct: a crash between archive write and manifest delete leaves one
+    // batch's rows in both places transiently
+    spark.createDataFrame((archived ++ liveRows).distinct)
   }
 }

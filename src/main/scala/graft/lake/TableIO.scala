@@ -40,18 +40,24 @@ final class TableIO(val root: String, spark: SparkSession) {
     finally out.close()
   }
 
-  /** Atomic-ish pointer swap: write tmp, rename over. On HDFS rename is
-    * atomic; on S3A one would use a conditional PUT / catalog — the contract
-    * (readers only ever see a complete snapshot) is the same as the
-    * reference's cursor overwrite (S3Writer.java:142-153).
+  private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
+
+  /** Atomic write: tmp file + single rename-with-OVERWRITE — there is never
+    * a window with the destination missing or truncated. (The previous
+    * delete-then-rename had a crash window that left NO snapshot, silently
+    * resetting the table to "brand new" and orphaning all history.) On HDFS
+    * and local fs this rename is atomic; on S3A one would use a conditional
+    * PUT / catalog — the reader contract (only ever a complete file) is the
+    * same as the reference's cursor overwrite (S3Writer.java:142-153).
     */
-  def swapSnapshot(json: String): Unit = {
-    val tmp = new Path(rootPath, s"snapshot.json.tmp")
-    writeString(tmp, json)
-    fs.delete(snapshotPath, false)
-    if (!fs.rename(tmp, snapshotPath))
-      throw new java.io.IOException(s"snapshot swap failed at $snapshotPath")
+  def writeAtomic(dest: Path, s: String): Unit = {
+    val tmp = new Path(dest.getParent, dest.getName + ".tmp")
+    writeString(tmp, s)
+    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
+
+  def swapSnapshot(json: String): Unit = writeAtomic(snapshotPath, json)
 
   /** Current snapshot, or None for a brand-new table — the 404 ⇒ offset 0
     * case (S3Writer.java:101-107).

@@ -40,8 +40,12 @@ object Chunker {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // payload size: content bytes + a fixed per-record framing overhead of 1
     // (the reference counts the trailing delimiter too,
-    // TrailingDelimiterFormat.java:49-64)
-    val recBytes = coalesce(length(col("content")).cast("long"), lit(0L)) + 1L
+    // TrailingDelimiterFormat.java:49-64). Content-less batches (meta-trio
+    // only, which the journal contract permits) chunk by record count.
+    val recBytes =
+      if (changes.columns.contains("content"))
+        coalesce(length(col("content")).cast("long"), lit(0L)) + 1L
+      else lit(1L)
     changes
       .withColumn("bytes_uncompressed", recBytes)
       .withColumn("chunk_id",

@@ -28,10 +28,16 @@ final class CdcPipeline(
     lakeRoot: String,
     chunkBytes: Long = 64L * 1024 * 1024,
     subBuckets: Int = 16,
-    journalEnabled: Boolean = true) {
+    journalEnabled: Boolean = true,
+    appId: String = "graft") {
+  // appId is the writer identity for epoch fencing (Delta's txnAppId
+  // pattern). A restart resuming THE SAME checkpoint must reuse the same
+  // appId (fencing replays); a run with a FRESH checkpoint must use a NEW
+  // appId, or its restarted batch numbering would be swallowed as replays.
+  // Tie it to the checkpoint location in streaming deployments.
 
-  val journal = new ChangeJournal(journalRoot, spark, chunkBytes)
-  val lake = new LakeTable(lakeRoot, spark, subBuckets)
+  val journal = new ChangeJournal(journalRoot, spark, chunkBytes, appId)
+  val lake = new LakeTable(lakeRoot, spark, subBuckets, appId)
 
   /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId.
     *

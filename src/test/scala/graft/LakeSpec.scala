@@ -85,6 +85,22 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.lineage().count() === lineageBefore)
   }
 
+  test("a new writer's restarted batch numbering is not swallowed as replays") {
+    val changes = ChangeGen.changes(spark, 1000, nKeys = 100, partitions = 4)
+    val root = SparkTestSession.tempDir("lakeapp")
+    val a = new LakeTable(root, spark, subBuckets = 4, appId = "ckpt-A")
+    a.merge(changes.filter(col("offset") < 100), 0L)
+    a.merge(changes.filter(col("offset") >= 100 && col("offset") < 150), 1L)
+    // same app, same batchId => fenced replay
+    assert(a.merge(changes.filter(col("offset") < 100), 1L) === -1L)
+    // NEW app (fresh checkpoint) restarts numbering at 0 with genuinely new
+    // data — must apply, not fence; overlap rows dedup on watermarks
+    val b = new LakeTable(root, spark, subBuckets = 4, appId = "ckpt-B")
+    val applied = b.merge(changes.filter(col("offset") >= 100), 0L)
+    assert(applied > 0L, "fresh-app batch 0 must not be fenced")
+    assertMatchesOracle(b, changes)
+  }
+
   test("compact re-buckets; new layout is table metadata and survives merges") {
     val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
       deletePct = 10)
