@@ -179,6 +179,20 @@ object EngineQueries {
           countDistinct(col("batchId")).as("n_batches"))
     },
 
+    // table maintenance preserves state: merge in 4 batches, re-bucket the
+    // table (compact 8 -> 16), GC history (vacuum to the current snapshot) —
+    // the final state must still equal the LWW oracle bit for bit
+    "eng_compact_vacuum" -> { (s, dir) =>
+      val root = workDir("compactvac")
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
+      p.runBatches(CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content"), 4)
+      p.lake.compact(16)
+      p.lake.vacuum(keepLast = 1)
+      finalState(p.lake)
+    },
+
     // snapshot time travel: two batches committed, then read AS OF the first
     // snapshot — must equal the LWW state over the first batch's offsets only
     "eng_time_travel" -> { (s, dir) =>
@@ -219,6 +233,7 @@ object EngineQueries {
     "eng_cdc_merge" -> duckFinalState,
     "eng_cdc_restart" -> duckFinalState,
     "eng_streaming_ingest" -> duckFinalState,
+    "eng_compact_vacuum" -> duckFinalState,
 
     "eng_lineage_metrics" -> (CdcQueries.duckChanges +
       """
