@@ -32,11 +32,29 @@ object TextQueries {
         .as("shingle"))
       .distinct()
 
-  /** k=8 MinHash signature per doc (min over md5('i:' || shingle)). */
+  /** Mersenne prime 2^31-1: the modulus of the 2-universal hash family. */
+  private val M31 = 2147483647L
+
+  /** (a, b) pairs of the k=8 hash family h_i(x) = (a_i·x + b_i) mod (2^31-1);
+    * fixed odd multipliers — the standard MinHash construction over ONE
+    * carrier fingerprint per shingle instead of k independent digests
+    * (8× less md5 on the dominant stage of the dedup pipeline at 100 TB).
+    */
+  private val hashFamily = Seq(
+    (1103515245L, 12345L), (1299709L, 7919L), (15485863L, 32452843L),
+    (982451653L, 104729L), (179424673L, 2038074743L), (32416190071L % M31, 65537L),
+    (22801763489L % M31, 179426549L), (1073741827L % M31, 999999937L))
+
+  /** k=8 MinHash signature per doc: carrier h = md5long(shingle) mod 2^31-1,
+    * then min over the 2-universal family per doc.
+    */
   private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val aggs = (0 until 8).map(i =>
-      min(md5(concat(lit(s"$i:"), col("shingle")))).as(s"m$i"))
-    shingles(s, dir).groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
+    val withH = shingles(s, dir)
+      .withColumn("h", pmod(graft.functions.Portable.md5Long(col("shingle")), lit(M31)))
+    val aggs = hashFamily.zipWithIndex.map { case ((a, b), i) =>
+      min(pmod(col("h") * lit(a) + lit(b), lit(M31))).as(s"m$i")
+    }
+    withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs: 4 bands of 2 minhashes each; a pair is a candidate
@@ -49,9 +67,10 @@ object TextQueries {
     */
   private def lshPairs(s: SparkSession, dir: String): DataFrame = {
     val sig = minhashSig(s, dir)
+    // band key packs the band's two 31-bit minhashes into one long (< 2^62)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
-        md5(concat(col(s"m${2 * b}"), col(s"m${2 * b + 1}"))).as("bkey"))): _*)).as("bb"))
+        (col(s"m${2 * b}") * lit(M31) + col(s"m${2 * b + 1}")).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     bands.groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
@@ -76,27 +95,28 @@ object TextQueries {
       |  FROM w
       |)""".stripMargin
 
+  // oracle built FROM the same hashFamily constants — cannot drift
   private val duckSig = duckShingles +
-    """, sig AS (
-      |  SELECT doc_id,
-      |         min(md5('0:' || shingle)) AS m0, min(md5('1:' || shingle)) AS m1,
-      |         min(md5('2:' || shingle)) AS m2, min(md5('3:' || shingle)) AS m3,
-      |         min(md5('4:' || shingle)) AS m4, min(md5('5:' || shingle)) AS m5,
-      |         min(md5('6:' || shingle)) AS m6, min(md5('7:' || shingle)) AS m7
-      |  FROM sh GROUP BY 1
-      |)""".stripMargin
+    s""", sh2 AS (
+       |  SELECT doc_id, ('0x' || substr(md5(shingle), 1, 15))::BIGINT % $M31 AS h FROM sh
+       |), sig AS (
+       |  SELECT doc_id,
+       |         ${hashFamily.zipWithIndex.map { case ((a, b), i) =>
+                    s"min((h * $a + $b) % $M31) AS m$i" }.mkString(",\n       |         ")}
+       |  FROM sh2 GROUP BY 1
+       |)""".stripMargin
 
   private val duckBands = duckSig +
-    """, bands AS (
-      |  SELECT doc_id, 0 AS band, md5(m0 || m1) AS bkey FROM sig
-      |  UNION ALL SELECT doc_id, 1, md5(m2 || m3) FROM sig
-      |  UNION ALL SELECT doc_id, 2, md5(m4 || m5) FROM sig
-      |  UNION ALL SELECT doc_id, 3, md5(m6 || m7) FROM sig
-      |), pairs AS (
-      |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-      |  FROM bands a JOIN bands b
-      |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
-      |)""".stripMargin
+    s""", bands AS (
+       |  SELECT doc_id, 0 AS band, m0 * $M31 + m1 AS bkey FROM sig
+       |  UNION ALL SELECT doc_id, 1, m2 * $M31 + m3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, m4 * $M31 + m5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, m6 * $M31 + m7 FROM sig
+       |), pairs AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |)""".stripMargin
 
   // language-ID keyword table: marker word per language, scored by
   // occurrence count in the padded text; argmax with a fixed tiebreak chain
