@@ -31,7 +31,8 @@ object ScalingBench {
 
   // --- single-measurement mode (runs inside a fresh child JVM) -------------
 
-  def runSingle(cores: Int, nEvents: Long, nBatches: Int): (Double, Long) = {
+  def runSingle(cores: Int, nEvents: Long, nBatches: Int,
+      hotPct: Int = 0): (Double, Long) = {
     val spark = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-scaling-$cores")
@@ -59,7 +60,8 @@ object ScalingBench {
       val inputDir = s"$root/input"
       ChangeGen.changes(spark, nEvents,
         nKeys = (nEvents / 20).toInt.max(100),
-        partitions = parts, deletePct = 10, minLen = 128, maxLen = 384)
+        partitions = parts, hotPct = hotPct, deletePct = 10,
+        minLen = 128, maxLen = 384)
         .write.mode("overwrite").parquet(inputDir)
       val changes = spark.read.parquet(inputDir)
       val total = changes.count()
@@ -159,6 +161,12 @@ object ScalingBench {
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--single")) {
       val (dt, n) = runSingle(args(1).toInt, args(2).toLong, args(3).toInt)
+      println(s"SINGLE_RESULT $dt $n")
+      return
+    }
+    if (args.headOption.contains("--skew")) { // hotPct% of events on ONE key
+      val (dt, n) = runSingle(args(1).toInt, args(2).toLong, args(3).toInt,
+        hotPct = args(4).toInt)
       println(s"SINGLE_RESULT $dt $n")
       return
     }
