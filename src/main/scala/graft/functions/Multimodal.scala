@@ -34,8 +34,9 @@ object Multimodal {
     * library call. Real implementation: initialize the decoder once per
     * partition (expensive), then stream records through it.
     */
-  private def decodeKernel(rec: MediaRecord): MediaFeatures = {
-    val md = java.security.MessageDigest.getInstance("SHA-256")
+  private def decodeKernel(rec: MediaRecord,
+      md: java.security.MessageDigest): MediaFeatures = {
+    md.reset()
     val digest = md.digest(rec.payload)
     val hex = digest.take(8).map(b => f"$b%02x").mkString
     // ??? <- real decoder goes here; fake dims derived from the digest
@@ -54,8 +55,10 @@ object Multimodal {
   def extractFeatures(media: Dataset[MediaRecord]): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
-      // per-partition init happens here (decoder handle, model weights, …)
-      it.map(decodeKernel)
+      // per-partition init: ONE decoder instance reused for every record
+      // (the real version initializes the codec/model weights here)
+      val md = java.security.MessageDigest.getInstance("SHA-256")
+      it.map(rec => decodeKernel(rec, md))
     }
   }
 
@@ -79,5 +82,7 @@ object Multimodal {
     */
   def featureTable(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(fromDocuments(spark, dir)).toDF()
-      .repartition(col("modality"))
+      // as many partitions as modalities — hashing 4 values into the default
+      // shuffle-partition count would leave ~all tasks empty
+      .repartition(4, col("modality"))
 }

@@ -39,11 +39,16 @@ object RecordFormats {
       sb.toString.getBytes(charset)
     }
 
-    /** decode a full buffer of concatenated records */
+    /** decode a full buffer of concatenated records. EOF-tolerant like the
+      * reference: a trailing UNTERMINATED value is still a record
+      * (DelimitedRecordReader.readTo returns the partial buffer at EOF,
+      * DelimitedRecordReader.java:64-66) — only the empty tail after a
+      * well-terminated final record is dropped.
+      */
     def decodeAll(bytes: Array[Byte]): Seq[(Option[String], String)] = {
       val text = new String(bytes, charset)
-      val records = text.split(java.util.regex.Pattern.quote(valueDelimiter), -1)
-        .toSeq.dropRight(1) // trailing delimiter terminates, not separates
+      val split = text.split(java.util.regex.Pattern.quote(valueDelimiter), -1).toSeq
+      val records = if (split.lastOption.contains("")) split.dropRight(1) else split
       records.map { r =>
         keyDelimiter match {
           case None => (None, r)

@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * exactly like Kafka keys hashing to one partition: per-key event order is
   * total within its partition.
   *
-  * Knobs: nKeys (distinct keys per partition), hotPct (fraction of events on
+  * Knobs: nKeys (TOTAL distinct keys, dealt across partitions), hotPct (fraction of events on
   * the hot repo `org-0/repo-0` — exercises skew handling), deletePct,
   * partitions P, payload size range.
   */
@@ -42,7 +42,9 @@ object ChangeGen {
       minLen: Int = 64,
       maxLen: Int = 512): DataFrame = {
     require(maxLen >= minLen && minLen >= 0)
-    val keysPerPartition = math.max(1, nKeys / math.max(1, partitions))
+    require(partitions >= 1, "need at least one partition")
+    // nKeys is the TOTAL distinct-key budget, dealt evenly across partitions
+    val keysPerPartition = math.max(1, nKeys / partitions)
     val r = spark.range(0, nEvents, 1, math.max(4, partitions))
     // independent deterministic hash streams per purpose
     def h(tag: String) = xxhash64(lit(seed), lit(tag), col("id"))
@@ -61,11 +63,13 @@ object ChangeGen {
     val path = when(isHot, concat(lit("hot/File"), partitionCol, lit(".md")))
       .otherwise(concat(lit("src/dir"), partitionCol, lit("/File"), keyId, lit("."), ext))
     val lang = when(isHot, lit("md")).otherwise(ext) // lang keyed by extension
-    // deterministic pseudo-text: 2 md5 blocks tiled to a seeded length
+    // deterministic pseudo-text: 2 md5 blocks (64 chars) tiled to cover any
+    // seeded length up to maxLen (the repeat count derives from maxLen —
+    // a fixed count would silently cap large payloads)
     val len = (lit(minLen) + pmod(h("len"), lit((maxLen - minLen + 1).toLong))).cast("int")
     val block = concat(md5(concat(lit(seed), lit(":"), col("id"))),
       md5(concat(lit(seed), lit(";"), col("id"))))
-    val content = substring(repeat(block, (512 / 64) + 1), 1, 576).substr(lit(1), len)
+    val content = repeat(block, maxLen / 64 + 1).substr(lit(1), len)
     val version = pmod(h("ver"), lit(1000000L))
     val commit = substring(sha2(concat(repo, path, version), 256), 1, 40)
 

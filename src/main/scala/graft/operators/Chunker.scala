@@ -46,11 +46,15 @@ object Chunker {
       if (changes.columns.contains("content"))
         coalesce(length(col("content")).cast("long"), lit(0L)) + 1L
       else lit(1L)
+    // integer `div`, not floor(double /): Divide coerces longs to double,
+    // which loses integer precision past 2^53 bytes of prefix sum — real at
+    // the 100 TB design point — and would misassign boundary records
     changes
       .withColumn("bytes_uncompressed", recBytes)
+      .withColumn("_run_bytes", sum(col("bytes_uncompressed")).over(w))
       .withColumn("chunk_id",
-        floor((sum(col("bytes_uncompressed")).over(w) - col("bytes_uncompressed"))
-          / lit(thresholdBytes)))
+        expr(s"(_run_bytes - bytes_uncompressed) div ${thresholdBytes}L"))
+      .drop("_run_bytes")
   }
 
   /** Roll chunk assignments up to ChunkDescriptor rows — the manifest stats

@@ -32,10 +32,15 @@ final class IngestListener extends StreamingQueryListener {
 
   override def onQueryProgress(event: QueryProgressEvent): Unit = {
     val p = event.progress
+    // batch wall time is triggerExecution — it CONTAINS the other phases
+    // (addBatch/getBatch/walCommit...), so summing the map double-counts
+    val wall = Option(p.durationMs.get("triggerExecution")).map(_.longValue())
+      .getOrElse(p.durationMs.values().asScala.map(_.longValue())
+        .maxOption.getOrElse(0L))
     progress.add(BatchProgress(
       p.batchId, p.numInputRows,
       Option(p.processedRowsPerSecond).filterNot(_.isNaN).getOrElse(0.0),
-      p.durationMs.values().asScala.map(_.longValue()).sum))
+      wall))
   }
 
   def batches: Seq[BatchProgress] = progress.asScala.toSeq
@@ -57,7 +62,8 @@ object IngestMetrics {
         sum(col("numDeletes")).as("deletes"),
         max(col("lastOffset")).as("high_water"),
         countDistinct(col("batchId")).as("n_batches"))
-    val globalHigh = lineage.agg(max(col("lastOffset"))).collect()(0).getLong(0)
+    val highRow = lineage.agg(max(col("lastOffset"))).collect()(0)
+    val globalHigh = if (highRow.isNullAt(0)) 0L else highRow.getLong(0) // empty lineage
     per
       .withColumn("events_per_sec",
         round(col("events").cast("double") / lit(math.max(wallSeconds, 1e-9)), 3))

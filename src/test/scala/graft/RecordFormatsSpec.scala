@@ -33,6 +33,18 @@ class RecordFormatsSpec extends AnyFunSuite {
     assert(noKeys.decodeAll(b2) === recs.map { case (_, v) => (None, v) })
   }
 
+  test("trailing-delimiter: unterminated final record still decodes (EOF-tolerant)") {
+    // DelimitedRecordReader.readTo returns the partial buffer at EOF
+    // (DelimitedRecordReader.java:64-66) — a truncated body must not lose
+    // its last record
+    val noKeys = new TrailingDelimiterFormat("\n", None)
+    assert(noKeys.decodeAll("a\nb".getBytes(StandardCharsets.UTF_8)) ===
+      Seq((None, "a"), (None, "b")))
+    assert(noKeys.decodeAll("a\nb\n".getBytes(StandardCharsets.UTF_8)) ===
+      Seq((None, "a"), (None, "b")))
+    assert(noKeys.decodeAll(Array.empty[Byte]) === Seq.empty)
+  }
+
   test("trailing-delimiter: key without value is an error (decoder port)") {
     val f = new TrailingDelimiterFormat("\n", Some("\t"))
     intercept[IllegalArgumentException] {
