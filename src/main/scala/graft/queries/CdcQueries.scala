@@ -102,6 +102,22 @@ object CdcQueries {
         .groupBy(col("partition")).agg(count(lit(1)).as("n_unique"))
     },
 
+    // G3 stateful variant — the flatMapGroupsWithState offset gate itself
+    // (streaming.OffsetGate) run over a fully-redelivered log: admits each
+    // offset exactly once per partition, like the reference's forever-lived
+    // max-offset map (S3SourceTask.java:198-207)
+    "cdc_offset_gate" -> { (s, dir) =>
+      import s.implicits._
+      val typed = changes(s, dir).select(
+        col("partition"), col("offset"), col("op"), col("repo"), col("path"),
+        md5(col("path")).as("commit"), lit("txt").as("lang"), col("content"))
+        .as[graft.model.ChangeEvent]
+      graft.streaming.OffsetGate.dedup(typed.unionAll(typed))
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n_admitted"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"))
+    },
+
     // F7 — offset-keyed file naming, format + parse roundtrip
     "cdc_filename_roundtrip" -> { (s, dir) =>
       changes(s, dir)
@@ -261,6 +277,11 @@ object CdcQueries {
         |      FROM (SELECT partition, "offset" FROM changes
         |            UNION ALL SELECT partition, "offset" FROM changes) u) d
         |GROUP BY 1""".stripMargin),
+
+    "cdc_offset_gate" -> duck(
+      """SELECT partition, count(DISTINCT "offset") AS n_admitted,
+        |       min("offset") AS min_offset, max("offset") AS max_offset
+        |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_filename_roundtrip" -> duck(
       """, g AS (
