@@ -42,9 +42,12 @@ object Chunker {
     // (the reference counts the trailing delimiter too,
     // TrailingDelimiterFormat.java:49-64). Content-less batches (meta-trio
     // only, which the journal contract permits) chunk by record count.
+    // octet_length (UTF-8 BYTES), not length (chars): the rollover threshold
+    // models the reference's uncompressed BYTE budget; char counts undercount
+    // multibyte payloads
     val recBytes =
       if (changes.columns.contains("content"))
-        coalesce(length(col("content")).cast("long"), lit(0L)) + 1L
+        coalesce(octet_length(col("content")).cast("long"), lit(0L)) + 1L
       else lit(1L)
     // integer `div`, not floor(double /): Divide coerces longs to double,
     // which loses integer precision past 2^53 bytes of prefix sum — real at

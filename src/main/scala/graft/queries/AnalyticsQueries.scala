@@ -23,8 +23,11 @@ object AnalyticsQueries {
 
     // TPC-H Q1 shape: scan + pushed filter + hash aggregate
     "ana_pricing_summary" -> { (s, dir) =>
+      // to_timestamp evaluates in the UTC session timezone; a
+      // java.sql.Timestamp literal would resolve in the JVM default TZ and
+      // silently shift the boundary rows relative to the DuckDB oracle
       t(s, dir, "lineitem")
-        .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
+        .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(dec(col("l_quantity"))).as("sum_qty"),

@@ -105,7 +105,10 @@ object CdcQueries {
     // G3 stateful variant — the flatMapGroupsWithState offset gate itself
     // (streaming.OffsetGate) run over a fully-redelivered log: admits each
     // offset exactly once per partition, like the reference's forever-lived
-    // max-offset map (S3SourceTask.java:198-207)
+    // max-offset map (S3SourceTask.java:198-207). Batch mode exercises the
+    // within-invocation gate; CROSS-batch state persistence (the GroupState
+    // checkpoint path) is covered by OffsetGateSpec's two-batch MemoryStream
+    // test — batch execution cannot carry state between runs by definition.
     "cdc_offset_gate" -> { (s, dir) =>
       import s.implicits._
       val typed = changes(s, dir).select(
@@ -215,7 +218,11 @@ object CdcQueries {
     },
 
     // F9 — tag/config string parsing (`k1:v1,...` → map; here the props
-    // payload parsed to a typed value via str_to_map semantics)
+    // payload parsed to a typed value via str_to_map semantics).
+    // CONTRACT: the regex strip-and-swap assumes the generator's props shape
+    // `{"k": <int>}` (single integer key, no nested/quoted values) — the
+    // oracle uses real json_extract, so a richer props shape would diverge
+    // here first, by design (it flags the contract break).
     "cdc_props_parse" -> { (s, dir) =>
       changes(s, dir)
         .withColumn("kv",
@@ -233,7 +240,7 @@ object CdcQueries {
   val oracles: Map[String, String] = Map(
     "cdc_chunk_assign" -> duck(
       """, sized AS (
-        |  SELECT partition, "offset", coalesce(length(content), 0) + 1 AS b FROM changes
+        |  SELECT partition, "offset", coalesce(octet_length(encode(content)), 0) + 1 AS b FROM changes
         |), cum AS (
         |  SELECT partition, "offset", b,
         |         sum(b) OVER (PARTITION BY partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING) - b AS bytes_before

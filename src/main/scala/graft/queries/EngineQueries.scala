@@ -19,7 +19,11 @@ object EngineQueries {
   }
 
   private def workDir(tag: String): String = {
-    val d = new java.io.File(s"/tmp/graft-e2e/$tag")
+    // per-process root: a fixed shared path would let two concurrent runs
+    // (e.g. full Verify + a prefix-filtered dev run) rm -rf each other's
+    // live journal/lake mid-merge
+    val pid = ProcessHandle.current().pid()
+    val d = new java.io.File(s"/tmp/graft-e2e-$pid/$tag")
     rmRf(d)
     d.mkdirs()
     d.getAbsolutePath
@@ -31,12 +35,8 @@ object EngineQueries {
       col("offset").as("last_offset"), col("content"),
       md5(col("content")).as("content_md5"))
 
-  private val duckFinalState: String = CdcQueries.duckChanges +
-    """
-      |SELECT repo, path, partition, "offset" AS last_offset, content, md5(content) AS content_md5
-      |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
-      |      FROM changes) t
-      |WHERE rn = 1 AND op = 'upsert'""".stripMargin
+  // the ONE LWW oracle — shared with cdc_lww_state so the two can't drift
+  private val duckFinalState: String = CdcQueries.oracles("cdc_lww_state")
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -235,16 +235,23 @@ object EngineQueries {
     "eng_streaming_ingest" -> duckFinalState,
     "eng_compact_vacuum" -> duckFinalState,
 
+    // n_batches derives from the same offset-range tiling runBatches uses
+    // (span = ceil((hi-lo+1)/4)) rather than assuming every partition has
+    // events in all 4 quartiles
     "eng_lineage_metrics" -> (CdcQueries.duckChanges +
-      """
+      """, b AS (
+        |  SELECT min("offset") AS lo,
+        |         (max("offset") - min("offset") + 1 + 3) // 4 AS span
+        |  FROM changes
+        |)
         |SELECT partition,
         |       count(*) AS events,
         |       CAST(sum(CASE WHEN op = 'upsert' THEN 1 ELSE 0 END) AS BIGINT) AS upserts,
         |       CAST(sum(CASE WHEN op = 'delete' THEN 1 ELSE 0 END) AS BIGINT) AS deletes,
         |       max("offset") AS high_water,
         |       min("offset") AS first_offset,
-        |       CAST(4 AS BIGINT) AS n_batches
-        |FROM changes GROUP BY 1""".stripMargin),
+        |       CAST(count(DISTINCT ("offset" - b.lo) // greatest(b.span, 1)) AS BIGINT) AS n_batches
+        |FROM changes, b GROUP BY 1""".stripMargin),
 
     "eng_time_travel" -> (CdcQueries.duckChanges +
       """, b AS (SELECT (min("offset") + max("offset")) // 2 AS mid FROM changes)

@@ -48,14 +48,17 @@ object TextQueries {
   /** k=8 MinHash signature per doc: carrier h = md5long(shingle) mod 2^31-1,
     * then min over the 2-universal family per doc.
     */
-  private def minhashSig(s: SparkSession, dir: String): DataFrame = {
-    val withH = shingles(s, dir)
+  private def minhashSigFrom(sh: DataFrame): DataFrame = {
+    val withH = sh
       .withColumn("h", pmod(graft.functions.Portable.md5Long(col("shingle")), lit(M31)))
     val aggs = hashFamily.zipWithIndex.map { case ((a, b), i) =>
       min(pmod(col("h") * lit(a) + lit(b), lit(M31))).as(s"m$i")
     }
     withH.groupBy(col("doc_id")).agg(aggs.head, aggs.tail: _*)
   }
+
+  private def minhashSig(s: SparkSession, dir: String): DataFrame =
+    minhashSigFrom(shingles(s, dir))
 
   /** LSH candidate pairs: 4 bands of 2 minhashes each; a pair is a candidate
     * if any band matches. One pass over the signatures (bands unpivoted with
@@ -65,8 +68,8 @@ object TextQueries {
     * rows are O(bucket size); a production run would cap pathological
     * buckets (a bucket of n docs yields n·(n-1)/2 candidates by design).
     */
-  private def lshPairs(s: SparkSession, dir: String): DataFrame = {
-    val sig = minhashSig(s, dir)
+  private def lshPairsFrom(sh: DataFrame): DataFrame = {
+    val sig = minhashSigFrom(sh)
     // band key packs the band's two 31-bit minhashes into one long (< 2^62)
     val bands = sig.select(col("doc_id"), explode(array(
       (0 until 4).map(b => struct(lit(b).as("band"),
@@ -139,13 +142,20 @@ object TextQueries {
     "txt_minhash" -> { (s, dir) => minhashSig(s, dir) },
 
     // LSH banding: near-dup candidate pairs
-    "txt_lsh_pairs" -> { (s, dir) => lshPairs(s, dir) },
+    "txt_lsh_pairs" -> { (s, dir) => lshPairsFrom(shingles(s, dir)) },
 
-    // exact n-gram Jaccard on the LSH candidates
+    // exact n-gram Jaccard on the LSH candidates. The shingle subtree feeds
+    // FOUR consumers (minhash, both intersection sides, sizes); Catalyst
+    // does not CSE identical subtrees across joins, so stage it once as a
+    // parquet temp — at 100 TB this IS the pipeline design (a materialized
+    // shingle table), not a workaround.
     "txt_ngram_jaccard" -> { (s, dir) =>
-      val sh = shingles(s, dir)
+      val stage = java.nio.file.Files.createTempDirectory("graft-shingles-")
+        .resolve("sh.parquet").toString
+      shingles(s, dir).write.mode("overwrite").parquet(stage)
+      val sh = s.read.parquet(stage)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-      val pairs = lshPairs(s, dir)
+      val pairs = lshPairsFrom(sh)
       val inter = pairs
         .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
         .join(sh.as("sb"), col("doc_b") === col("sb.doc_id")
