@@ -19,6 +19,21 @@ import org.scalatest.funsuite.AnyFunSuite
 class JournalSpec extends AnyFunSuite {
   lazy val spark = SparkTestSession.spark
 
+  test("new-writer batch numbering is not fenced; offset gate still dedups") {
+    val changes = ChangeGen.changes(spark, 600, nKeys = 60, partitions = 4)
+    val root = SparkTestSession.tempDir("japp")
+    val a = new ChangeJournal(root, spark, 4096, appId = "ckpt-A")
+    assert(a.append(changes.filter(col("offset") < 80), 0L) > 0L)
+    // fresh checkpoint (new appId) restarts at batchId 0 with new data:
+    // must append, not fence; the rows already journaled are offset-gated
+    val b = new ChangeJournal(root, spark, 4096, appId = "ckpt-B")
+    val appended = b.append(changes, 0L)
+    assert(appended > 0L, "fresh-app batch 0 must not be fenced")
+    assert(b.read().count() === 600L)
+    assert(b.read().groupBy("partition", "offset").count()
+      .filter(col("count") > 1).count() === 0L, "no duplicates")
+  }
+
   test("fresh journal resumes at offset 0 (404 case)") {
     val j = new ChangeJournal(SparkTestSession.tempDir("j404"), spark, 4096)
     assert(j.nextOffsets() === Map.empty)
