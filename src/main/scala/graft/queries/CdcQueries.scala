@@ -192,6 +192,25 @@ object CdcQueries {
           countDistinct(col("partition")).as("n_partitions"))
     },
 
+    // Converter surface — the Connect JSON converter analogue
+    // (Configure.java:37-66 delegates schema-ful data to JSON converters):
+    // records serialized with to_json, shipped as a JSON-lines file, read
+    // back through the schema'd json source, and checksummed per partition
+    "cdc_json_roundtrip" -> { (s, dir) =>
+      val c = changes(s, dir).select("partition", "offset", "op", "repo", "path", "content")
+      val stage = java.nio.file.Files.createTempDirectory("graft-jsonl-")
+        .resolve("events.jsonl").toString
+      c.select(to_json(struct(c.columns.map(col).toIndexedSeq: _*)).as("value"))
+        .coalesce(1).write.mode("overwrite").text(stage)
+      val parsed = s.read.schema(c.schema).json(stage)
+      parsed.groupBy(col("partition")).agg(
+        count(lit(1)).as("n"),
+        sum(Portable.md5Long(concat_ws("|",
+          col("offset"), col("op"), col("repo"), col("path"),
+          coalesce(col("content"), lit("∅"))))
+          .cast("decimal(38,0)")).as("row_sum"))
+    },
+
     // F3/F4 — length-prefixed binary framing roundtrip: big-endian int4
     // length before key and value bytes (ByteLengthFormat port), built and
     // re-parsed entirely inside codegen'd expressions over a hex transcript
@@ -337,6 +356,13 @@ object CdcQueries {
 
     "cdc_task_assignment" -> duck(
       """SELECT partition % 3 AS task, count(*) AS n, count(DISTINCT partition) AS n_partitions
+        |FROM changes GROUP BY 1""".stripMargin),
+
+    "cdc_json_roundtrip" -> duck(
+      """SELECT partition, count(*) AS n,
+        |       CAST(sum(('0x' || substr(md5(
+        |         CAST("offset" AS VARCHAR) || '|' || op || '|' || repo || '|' || path || '|' || coalesce(content, '∅')
+        |       ), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS row_sum
         |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_binary_roundtrip" -> duck(
