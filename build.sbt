@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked run output must pass through UNWRAPPED: sbt's default logger
+// prefixes every line with "[info] ", which broke machine-parsing of
+// Bench's single JSON result line. StdoutOutput inherits this process's
+// stdout/stderr directly.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

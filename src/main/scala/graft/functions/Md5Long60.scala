@@ -64,8 +64,15 @@ object Md5Long60 {
   /** Idempotently register `md5long60` in the session's function registry
     * (strings are cast to their UTF-8 bytes, like Spark's own md5).
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    // skip when already present: createOrReplace logs a "replaced a
+    // previously registered function" WARN per call, and this runs on every
+    // md5long60 column construction. A racing double-register is harmless
+    // (same builder, createOrReplace is idempotent).
+    val reg = spark.sessionState.functionRegistry
+    if (reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("md5long60")))
+      return
+    reg.createOrReplaceTempFunction(
       "md5long60",
       (args: Seq[Expression]) => {
         if (args.length != 1) throw new IllegalArgumentException(
@@ -73,6 +80,7 @@ object Md5Long60 {
         Md5Long60(Cast(args.head, BinaryType))
       },
       "scala_udf")
+  }
 
   /** Column API over the registered function. */
   def md5long60(c: Column): Column = {

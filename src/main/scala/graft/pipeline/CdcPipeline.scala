@@ -86,19 +86,29 @@ final class CdcPipeline(
       crashAfter: Option[Long] = None,
       replayFrom: Long = 0L): Unit = {
     require(nBatches > 0)
-    val bounds = changes.groupBy().agg(
-      min(col("offset")).as("lo"), max(col("offset")).as("hi")).collect()(0)
-    if (bounds.isNullAt(0)) return
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
-    val span = math.max(1L, (hi - lo + 1 + nBatches - 1) / nBatches)
-    var b = replayFrom
-    var stopped = false
-    while (b < nBatches && !stopped) {
-      val (a, z) = (lo + b * span, lo + (b + 1) * span)
-      applyBatch(changes.filter(col("offset") >= a && col("offset") < z), b)
-      stopped = crashAfter.exists(b >= _) // simulated kill between batches
-      b += 1
-    }
+    // Persist the change log ONCE: every batch slice filters the same
+    // deterministic input, and each applyBatch consumes it twice (journal
+    // append ∥ lake merge). Without the cache that is 2×nBatches full
+    // source scans + md5 partition re-derivations — this was 54% of the
+    // round-1 bench. The bounds aggregate below doubles as the warm-up
+    // action. (A real streaming deployment never replays the source like
+    // this; runBatches is the deterministic test/bench driver.)
+    val cached = changes.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val bounds = cached.groupBy().agg(
+        min(col("offset")).as("lo"), max(col("offset")).as("hi")).collect()(0)
+      if (bounds.isNullAt(0)) return
+      val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+      val span = math.max(1L, (hi - lo + 1 + nBatches - 1) / nBatches)
+      var b = replayFrom
+      var stopped = false
+      while (b < nBatches && !stopped) {
+        val (a, z) = (lo + b * span, lo + (b + 1) * span)
+        applyBatch(cached.filter(col("offset") >= a && col("offset") < z), b)
+        stopped = crashAfter.exists(b >= _) // simulated kill between batches
+        b += 1
+      }
+    } finally cached.unpersist(blocking = false): Unit
   }
 
   /** Streaming mode: tail a parquet directory of change events (the in-prod

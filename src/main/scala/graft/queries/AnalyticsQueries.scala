@@ -7,8 +7,8 @@ import org.apache.spark.sql.functions._
 /** Relational analytics over the TPC-H-ish tables — the generic scan /
   * filter / aggregate / join / window / top-k surface, written the way the
   * plans should look at 100 TB: filters and projections pushed to the
-  * parquet scan, dimension joins broadcast, doubles aggregated as exact
-  * decimals (order-independent, so the DuckDB cross-check can't be broken by
+  * parquet scan, dimension joins broadcast, doubles aggregated exactly
+  * (order-independent, so the DuckDB cross-check can't be broken by
   * summation order), top-k fully tie-broken.
   */
 object AnalyticsQueries {
@@ -18,6 +18,23 @@ object AnalyticsQueries {
 
   /** exact money: double -> decimal(18,6) before any aggregation */
   private def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(18,6)")
+
+  /** Exact money emitted engine-portably: micro-units as BIGINT. Gate
+    * outputs never carry DECIMAL columns — different readers disagree on
+    * decimal representation (Decimal object vs float64), which fails the
+    * driver's value hash even when the numbers are identical; int64 has one
+    * representation everywhere. The conversion is exact: no money/value
+    * column in the testdata has a nonzero digit past 6 decimal places
+    * (verified at sf0.001/0.01/0.1), so the decimal(25,6) round-trip and the
+    * *1e6 scaling introduce no rounding on either engine.
+    */
+  private def micro(c: org.apache.spark.sql.Column) =
+    (c.cast("decimal(25,6)") * lit(1000000)).cast("long")
+
+  /** the matching DuckDB expression (kept textually adjacent so the two
+    * sides can't drift) */
+  private def duckMicro(e: String): String =
+    s"CAST(CAST($e AS DECIMAL(25,6)) * 1000000 AS BIGINT)"
 
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -30,10 +47,11 @@ object AnalyticsQueries {
         .filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01 00:00:00")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
-          sum(dec(col("l_quantity"))).as("sum_qty"),
-          sum(dec(col("l_extendedprice"))).as("sum_base_price"),
-          sum(dec(col("l_extendedprice")) * (lit(1).cast("decimal(18,6)") - dec(col("l_discount"))))
-            .as("sum_disc_price"),
+          sum(micro(col("l_quantity"))).as("sum_qty_micro"),
+          sum(micro(col("l_extendedprice"))).as("sum_base_price_micro"),
+          sum(micro(dec(col("l_extendedprice"))
+            * (lit(1).cast("decimal(18,6)") - dec(col("l_discount")))))
+            .as("sum_disc_price_micro"),
           count(lit(1)).as("count_order"))
     },
 
@@ -48,19 +66,29 @@ object AnalyticsQueries {
         .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
         .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
         .groupBy(col("r_name"))
-        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+        .agg(sum(micro(col("o_totalprice"))).as("revenue_micro"),
           count(lit(1)).as("n_orders"))
     },
 
-    // top-k with full tiebreak (rank, then key) — never a bare LIMIT
+    // top-k with full tiebreak (rank, then key) — never a bare LIMIT, and
+    // never a global window either: orderBy(...).limit(k) compiles to
+    // TakeOrderedAndProject (per-partition heap + driver merge of k rows),
+    // so only the k survivors are ranked. A Window.orderBy with no partition
+    // would move EVERY aggregated customer row to one partition — the
+    // classic 100 TB scale-killer. The rank window over the k survivors is
+    // partitioned by a constant-valued but NON-FOLDABLE key (pmod(key, 1)):
+    // a lit() would be constant-folded out of the partition spec, putting
+    // WindowExec back on its everything-to-one-partition path.
     "ana_top_customers" -> { (s, dir) =>
       val byCust = t(s, dir, "orders")
         .groupBy(col("o_custkey"))
-        .agg(sum(dec(col("o_totalprice"))).as("total"), count(lit(1)).as("n_orders"))
-      val w = Window.orderBy(col("total").desc, col("o_custkey"))
-      byCust.withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("rank"), col("o_custkey"), col("total"),
+        .agg(sum(micro(col("o_totalprice"))).as("total_micro"),
+          count(lit(1)).as("n_orders"))
+      val top = byCust.orderBy(col("total_micro").desc, col("o_custkey")).limit(10)
+      val w = Window.partitionBy(pmod(col("o_custkey"), lit(1L)))
+        .orderBy(col("total_micro").desc, col("o_custkey"))
+      top.withColumn("rank", row_number().over(w).cast("long"))
+        .select(col("rank"), col("o_custkey"), col("total_micro"),
           col("n_orders"))
     },
 
@@ -95,9 +123,9 @@ object AnalyticsQueries {
       val ev = t(s, dir, "events")
       val salted = ev.withColumn("_salt", pmod(col("event_id"), lit(8L)))
         .groupBy(col("user_id"), col("_salt"))
-        .agg(count(lit(1)).as("pn"), sum(dec(col("value"))).as("pv"))
+        .agg(count(lit(1)).as("pn"), sum(micro(col("value"))).as("pv"))
       salted.groupBy(col("user_id"))
-        .agg(sum(col("pn")).as("n"), sum(col("pv")).as("total_value"))
+        .agg(sum(col("pn")).as("n"), sum(col("pv")).as("total_value_micro"))
     },
 
     // sessionization: event-time gaps > 30 min start a new session (lag window)
@@ -118,7 +146,7 @@ object AnalyticsQueries {
     "ana_rollup" -> { (s, dir) =>
       t(s, dir, "orders")
         .rollup(col("o_orderstatus"), col("o_orderpriority"))
-        .agg(sum(dec(col("o_totalprice"))).as("revenue"),
+        .agg(sum(micro(col("o_totalprice"))).as("revenue_micro"),
           count(lit(1)).as("n"),
           grouping_id(col("o_orderstatus"), col("o_orderpriority"))
             .cast("int").as("lvl"))
@@ -155,45 +183,45 @@ object AnalyticsQueries {
         |FROM m WHERE event_type = 'purchase' AND asof_key IS NOT NULL""".stripMargin,
 
     "ana_rollup" ->
-      """SELECT o_orderstatus, o_orderpriority,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue,
-        |       count(*) AS n,
-        |       CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS lvl
-        |FROM orders
-        |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
+      s"""SELECT o_orderstatus, o_orderpriority,
+         |       CAST(sum(${duckMicro("o_totalprice")}) AS BIGINT) AS revenue_micro,
+         |       count(*) AS n,
+         |       CAST(grouping(o_orderstatus, o_orderpriority) AS INT) AS lvl
+         |FROM orders
+         |GROUP BY ROLLUP(o_orderstatus, o_orderpriority)""".stripMargin,
 
     "ana_pricing_summary" ->
-      """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS DECIMAL(18,6))) AS sum_qty,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,6))) AS sum_base_price,
-        |       sum(CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))) AS sum_disc_price,
-        |       count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
-        |GROUP BY 1, 2""".stripMargin,
+      s"""SELECT l_returnflag, l_linestatus,
+         |       CAST(sum(${duckMicro("l_quantity")}) AS BIGINT) AS sum_qty_micro,
+         |       CAST(sum(${duckMicro("l_extendedprice")}) AS BIGINT) AS sum_base_price_micro,
+         |       CAST(sum(${duckMicro("CAST(l_extendedprice AS DECIMAL(18,6)) * (CAST(1 AS DECIMAL(18,6)) - CAST(l_discount AS DECIMAL(18,6)))")}) AS BIGINT) AS sum_disc_price_micro,
+         |       count(*) AS count_order
+         |FROM lineitem
+         |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+         |GROUP BY 1, 2""".stripMargin,
 
     "ana_region_revenue" ->
-      """SELECT r_name,
-        |       sum(CAST(o_totalprice AS DECIMAL(18,6))) AS revenue,
-        |       count(*) AS n_orders
-        |FROM orders
-        |JOIN customer ON o_custkey = c_custkey
-        |JOIN nation ON c_nationkey = n_nationkey
-        |JOIN region ON n_regionkey = r_regionkey
-        |GROUP BY 1""".stripMargin,
+      s"""SELECT r_name,
+         |       CAST(sum(${duckMicro("o_totalprice")}) AS BIGINT) AS revenue_micro,
+         |       count(*) AS n_orders
+         |FROM orders
+         |JOIN customer ON o_custkey = c_custkey
+         |JOIN nation ON c_nationkey = n_nationkey
+         |JOIN region ON n_regionkey = r_regionkey
+         |GROUP BY 1""".stripMargin,
 
     "ana_top_customers" ->
-      """SELECT row_number() OVER (ORDER BY total DESC, o_custkey) AS rank,
-        |       o_custkey, total, n_orders
-        |FROM (SELECT o_custkey, sum(CAST(o_totalprice AS DECIMAL(18,6))) AS total,
-        |             count(*) AS n_orders
-        |      FROM orders GROUP BY 1) t
-        |QUALIFY rank <= 10""".stripMargin,
+      s"""SELECT row_number() OVER (ORDER BY total_micro DESC, o_custkey) AS rank,
+         |       o_custkey, total_micro, n_orders
+         |FROM (SELECT o_custkey, CAST(sum(${duckMicro("o_totalprice")}) AS BIGINT) AS total_micro,
+         |             count(*) AS n_orders
+         |      FROM orders GROUP BY 1) t
+         |QUALIFY rank <= 10""".stripMargin,
 
     "ana_salted_agg" ->
-      """SELECT user_id, count(*) AS n,
-        |       sum(CAST(value AS DECIMAL(18,6))) AS total_value
-        |FROM events GROUP BY 1""".stripMargin,
+      s"""SELECT user_id, count(*) AS n,
+         |       CAST(sum(${duckMicro("value")}) AS BIGINT) AS total_value_micro
+         |FROM events GROUP BY 1""".stripMargin,
 
     "ana_sessionize" ->
       """WITH g AS (

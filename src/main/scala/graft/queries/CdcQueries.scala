@@ -198,17 +198,21 @@ object CdcQueries {
     // back through the schema'd json source, and checksummed per partition
     "cdc_json_roundtrip" -> { (s, dir) =>
       val c = changes(s, dir).select("partition", "offset", "op", "repo", "path", "content")
-      val stage = java.nio.file.Files.createTempDirectory("graft-jsonl-")
-        .resolve("events.jsonl").toString
+      // partitioned jsonl staging (one file per task, read back as a
+      // directory) — the operator pattern, not a coalesce(1) driver funnel;
+      // pid-scoped dir is reclaimed on the next invocation
+      val stage = Staging.dir("jsonl") + "/events.jsonl"
       c.select(to_json(struct(c.columns.map(col).toIndexedSeq: _*)).as("value"))
-        .coalesce(1).write.mode("overwrite").text(stage)
+        .write.mode("overwrite").text(stage)
       val parsed = s.read.schema(c.schema).json(stage)
+      // order-insensitive exact checksum: md5-derived terms reduced mod 2^31
+      // so the sum stays BIGINT on both engines (a DECIMAL output would hit
+      // reader-representation drift in the driver's hash)
       parsed.groupBy(col("partition")).agg(
         count(lit(1)).as("n"),
-        sum(Portable.md5Long(concat_ws("|",
+        sum(pmod(Portable.md5Long(concat_ws("|",
           col("offset"), col("op"), col("repo"), col("path"),
-          coalesce(col("content"), lit("∅"))))
-          .cast("decimal(38,0)")).as("row_sum"))
+          coalesce(col("content"), lit("∅")))), lit(2147483648L))).as("row_sum"))
     },
 
     // F3/F4 — length-prefixed binary framing roundtrip: big-endian int4
@@ -362,7 +366,7 @@ object CdcQueries {
       """SELECT partition, count(*) AS n,
         |       CAST(sum(('0x' || substr(md5(
         |         CAST("offset" AS VARCHAR) || '|' || op || '|' || repo || '|' || path || '|' || coalesce(content, '∅')
-        |       ), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS row_sum
+        |       ), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS row_sum
         |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_binary_roundtrip" -> duck(

@@ -13,21 +13,7 @@ import org.apache.spark.sql.functions._
   */
 object EngineQueries {
 
-  private def rmRf(f: java.io.File): Unit = {
-    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rmRf))
-    f.delete(): Unit
-  }
-
-  private def workDir(tag: String): String = {
-    // per-process root: a fixed shared path would let two concurrent runs
-    // (e.g. full Verify + a prefix-filtered dev run) rm -rf each other's
-    // live journal/lake mid-merge
-    val pid = ProcessHandle.current().pid()
-    val d = new java.io.File(s"/tmp/graft-e2e-$pid/$tag")
-    rmRf(d)
-    d.mkdirs()
-    d.getAbsolutePath
-  }
+  private def workDir(tag: String): String = Staging.dir(s"e2e-$tag")
 
   /** shape the final lake state for comparison */
   private def finalState(lake: graft.lake.LakeTable): DataFrame =
@@ -74,12 +60,15 @@ object EngineQueries {
       val changes = CdcQueries.changes(s, dir)
         .select("partition", "offset", "op", "repo", "path", "content")
       p.runBatches(changes, 4)
+      // md5-derived terms reduced mod 2^31 before the sum, so the checksum
+      // stays BIGINT on both engines (DECIMAL outputs hit reader-
+      // representation drift in the driver's value hash)
       p.journal.read()
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n"),
           min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
-          sum(graft.functions.Portable.md5Long(coalesce(col("content"), lit("∅")))
-            .cast("decimal(38,0)")).as("content_sum"))
+          sum(pmod(graft.functions.Portable.md5Long(coalesce(col("content"), lit("∅"))),
+            lit(2147483648L))).as("content_sum"))
     },
 
     // mid-stream resume: committed offsets inside the journal ⇒ replay
@@ -278,7 +267,7 @@ object EngineQueries {
     "eng_journal_roundtrip" -> (CdcQueries.duckChanges +
       """
         |SELECT partition, count(*) AS n, min("offset") AS min_offset, max("offset") AS max_offset,
-        |       CAST(sum(('0x' || substr(md5(coalesce(content, '∅')), 1, 15))::BIGINT) AS DECIMAL(38,0)) AS content_sum
+        |       CAST(sum(('0x' || substr(md5(coalesce(content, '∅')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS content_sum
         |FROM changes GROUP BY 1""".stripMargin),
 
     "eng_journal_resume" -> (CdcQueries.duckChanges +
