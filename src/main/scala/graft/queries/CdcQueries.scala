@@ -215,6 +215,44 @@ object CdcQueries {
           coalesce(col("content"), lit("∅")))), lit(2147483648L))).as("row_sum"))
     },
 
+    // S2-S5/K1-K3 container interop — the reference's ACTUAL on-disk archive
+    // format: block-gzip data files (concatenated gzip members) + chunk
+    // index JSON, written chunk-rolled per partition, then read back
+    // CHUNK-PARALLEL (each task decompresses one member's byte range).
+    // Checksums of the decoded lines are cross-checked against DuckDB over
+    // the same synthesized records.
+    "cdc_gz_archive_read" -> { (s, dir) =>
+      val root = Staging.dir("gzarch-read")
+      val c = changes(s, dir).select(col("partition"), col("offset"),
+        concat(col("repo"), lit("/"), col("path"), lit("\t"),
+          coalesce(col("content"), lit(""))).as("line"))
+      graft.sources.GzArchive.writeArchive(c, root, "changes", "offset",
+        chunkThreshold = 4096, recordsPerFile = 5000)
+      graft.sources.GzArchive.read(s, root)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          sum(pmod(Portable.md5Long(col("value")), lit(2147483648L))).as("line_sum"))
+    },
+
+    // S4 ranged resume through the chunk index: whole members at or below
+    // the committed offset are pruned from the index alone (never opened);
+    // the boundary member filters after decode — the ranged-GET resume of
+    // S3FilesReader.java:215-261 as a distributed read
+    "cdc_gz_archive_resume" -> { (s, dir) =>
+      val root = Staging.dir("gzarch-resume")
+      val c = changes(s, dir).select(col("partition"), col("offset"),
+        concat(col("repo"), lit("/"), col("path"), lit("\t"),
+          coalesce(col("content"), lit(""))).as("line"))
+      graft.sources.GzArchive.writeArchive(c, root, "changes", "offset",
+        chunkThreshold = 4096, recordsPerFile = 5000)
+      val committed = Map(0 -> 100L, 1 -> 150L, 2 -> 200L, 3 -> 250L)
+      graft.sources.GzArchive.readFrom(s, root, committed)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"), min(col("offset")).as("first_replayed"),
+          sum(pmod(Portable.md5Long(col("value")), lit(2147483648L))).as("line_sum"))
+    },
+
     // F3/F4 — length-prefixed binary framing roundtrip: big-endian int4
     // length before key and value bytes (ByteLengthFormat port), built and
     // re-parsed entirely inside codegen'd expressions over a hex transcript
@@ -368,6 +406,26 @@ object CdcQueries {
         |         CAST("offset" AS VARCHAR) || '|' || op || '|' || repo || '|' || path || '|' || coalesce(content, '∅')
         |       ), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS row_sum
         |FROM changes GROUP BY 1""".stripMargin),
+
+    "cdc_gz_archive_read" -> duck(
+      """SELECT partition, count(*) AS n,
+        |       CAST(0 AS BIGINT) AS min_offset,
+        |       count(*) - 1 AS max_offset,
+        |       CAST(sum(('0x' || substr(md5(repo || '/' || path || chr(9) || coalesce(content, '')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS line_sum
+        |FROM changes GROUP BY 1""".stripMargin),
+
+    "cdc_gz_archive_resume" -> duck(
+      """, arch AS (
+        |  SELECT partition,
+        |         row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS aoff,
+        |         repo || '/' || path || chr(9) || coalesce(content, '') AS line
+        |  FROM changes
+        |), committed(partition, committed) AS (VALUES (0, 100), (1, 150), (2, 200), (3, 250))
+        |SELECT a.partition, count(*) AS n, min(aoff) AS first_replayed,
+        |       CAST(sum(('0x' || substr(md5(line), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS line_sum
+        |FROM arch a JOIN committed m ON a.partition = m.partition
+        |WHERE aoff > m.committed
+        |GROUP BY 1""".stripMargin),
 
     "cdc_binary_roundtrip" -> duck(
       """, framed AS (
