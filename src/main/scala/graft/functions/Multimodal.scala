@@ -82,7 +82,9 @@ object Multimodal {
     */
   def featureTable(spark: SparkSession, dir: String): DataFrame =
     extractFeatures(fromDocuments(spark, dir)).toDF()
-      // as many partitions as modalities — hashing 4 values into the default
-      // shuffle-partition count would leave ~all tasks empty
-      .repartition(4, col("modality"))
+      // modality-clustered layout in ~4 partitions: range partitioning keeps
+      // each modality contiguous (hash into 4 could collide two modalities
+      // into one partition and leave others empty; into the default shuffle
+      // count it would leave ~all tasks empty)
+      .repartitionByRange(4, col("modality"))
 }

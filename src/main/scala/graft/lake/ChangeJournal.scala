@@ -90,6 +90,17 @@ final class ChangeJournal(
 
     if (isReplay(batchId)) return 0L // fenced replay: already durable
 
+    // the journal's current schema is KNOWN at every commit (this batch's
+    // columns merged additively over the previous manifest's schema), so
+    // persist it — a caught-up reader must not have to open parquet footers
+    // to learn it (that scan grows O(total journal files) with history)
+    val mergedSchema = manifest()
+      .flatMap(m => Option(m.get("schema")).map(_.asText))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .map(prev => SchemaEvolution.merge(prev, batch.schema))
+      .getOrElse(batch.schema)
+
     val next = nextOffsets()
     val parts = batch.sparkSession.createDataFrame(
       next.toSeq.map { case (p, o) => (p, o) })
@@ -117,7 +128,7 @@ final class ChangeJournal(
       sum(col("bytes_uncompressed")).as("byte_length_uncompressed"))
       .collect()
     if (chunkStats.isEmpty) {
-      commitManifest(liveFiles(), next, batchId)
+      commitManifest(liveFiles(), next, batchId, mergedSchema)
       return 0L
     }
 
@@ -175,18 +186,20 @@ final class ChangeJournal(
     val newNext = next ++ byPartition.map { case (p, chunks) =>
       p -> (chunks.map(_.getLong(4)).max + 1L)
     }
-    commitManifest(liveFiles() ++ newFiles, newNext, batchId)
+    commitManifest(liveFiles() ++ newFiles, newNext, batchId, mergedSchema)
     appended
     } finally fresh.unpersist()
   }
 
   private def commitManifest(
-      files: Seq[JsonNode], next: Map[Int, Long], batchId: Long): Unit = {
+      files: Seq[JsonNode], next: Map[Int, Long], batchId: Long,
+      schema: org.apache.spark.sql.types.StructType): Unit = {
     val version = io.readSnapshot().map(_.get("version").asLong + 1).getOrElse(0L)
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
     m.put("appId", appId)
+    m.put("schema", schema.json)
     val pn = m.putObject("partitions")
     next.keySet.toSeq.sorted.foreach { p =>
       val o = pn.putObject(p.toString)
@@ -227,18 +240,33 @@ final class ChangeJournal(
     }
     if (files.isEmpty) {
       // fully-caught-up resume must still carry the journal's schema, not a
-      // zero-column frame (downstream selects/aggs would fail to resolve)
-      val schema =
-        if (all.isEmpty) org.apache.spark.sql.types.StructType(Seq(
-          org.apache.spark.sql.types.StructField("partition",
-            org.apache.spark.sql.types.IntegerType),
-          org.apache.spark.sql.types.StructField("offset",
-            org.apache.spark.sql.types.LongType),
-          org.apache.spark.sql.types.StructField("op",
-            org.apache.spark.sql.types.StringType)))
-        else spark.read.option("mergeSchema", "true")
-          .parquet(all.map(f => new Path(io.rootPath, f.get("path").asText).toString): _*)
-          .schema
+      // zero-column frame (downstream selects/aggs would fail to resolve).
+      // The schema comes from the MANIFEST (persisted at every commit) — a
+      // caught-up consumer polling frequently must not pay an O(total
+      // journal files) parquet footer scan per call. Footer fallback (newest
+      // file per partition only, O(partitions)) covers pre-schema manifests.
+      val schema = manifest()
+        .flatMap(m => Option(m.get("schema")).map(_.asText))
+        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+        .getOrElse {
+          if (all.isEmpty) org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("partition",
+              org.apache.spark.sql.types.IntegerType),
+            org.apache.spark.sql.types.StructField("offset",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("op",
+              org.apache.spark.sql.types.StringType)))
+          else {
+            val newestPerPartition = all
+              .groupBy(_.get("partition").asInt)
+              .values.map(_.maxBy(_.get("max_offset").asLong).get("path").asText)
+              .toSeq
+            spark.read.option("mergeSchema", "true")
+              .parquet(newestPerPartition.map(r => new Path(io.rootPath, r).toString): _*)
+              .schema
+          }
+        }
       return spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }

@@ -332,7 +332,7 @@ final class LakeTable(
 
     val newWm = wm ++ statRows.map { case (p, maxOff, _, _, _) => p -> maxOff }
     val lineage = statRows.map { case (p, maxOff, minOff, n, nUp) =>
-      graft.model.LineageRow(batchId, p, minOff, maxOff, n, nUp, n - nUp)
+      graft.model.LineageRow(batchId, p, minOff, maxOff, n, nUp, n - nUp, appId)
     }
     commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage, sb)
     // superseded files stay on disk unreferenced (GC-able), exactly like the
@@ -368,7 +368,7 @@ final class LakeTable(
       n.put("batchId", l.batchId); n.put("partition", l.partition)
       n.put("firstOffset", l.firstOffset); n.put("lastOffset", l.lastOffset)
       n.put("numEvents", l.numEvents); n.put("numUpserts", l.numUpserts)
-      n.put("numDeletes", l.numDeletes)
+      n.put("numDeletes", l.numDeletes); n.put("appId", l.appId)
       la.add(n)
     }
     val manifestRel = f"manifest-$version%012d.json"
@@ -382,14 +382,22 @@ final class LakeTable(
   }
 
   /** Garbage-collect history: keep the last `keepLast` snapshots readable,
-    * delete data files referenced by no kept manifest and manifests older
-    * than the horizon. Superseded/orphaned files are exactly the reference's
-    * crash leftovers ("orphan data files, correctness holds because the
-    * cursor is the source of truth", SURVEY.md §4) — unreferenced by
-    * construction, so deletion never races a reader of a kept snapshot.
+    * delete superseded data files and manifests older than the horizon.
+    *
+    * Deletion is two-class, so vacuum is safe NEXT TO A LIVE WRITER:
+    *  1. KNOWN-SUPERSEDED files — referenced by a manifest being GC'd and by
+    *    no kept manifest — are deleted unconditionally. This set cannot
+    *    contain another writer's in-flight promotes (those are referenced by
+    *    no manifest at all yet).
+    *  2. ORPHANS (referenced by no manifest — crash leftovers, exactly the
+    *    reference's orphaned uploads, SURVEY.md §4) are reclaimed only past
+    *    `orphanGraceMs` of mtime age, so a concurrent merge/compact that has
+    *    promoted files into data/ but not yet committed its manifest never
+    *    loses them (the Delta vacuum retention pattern). A naive "delete
+    *    anything unreferenced" would corrupt that writer's commit.
     * Returns (dataFilesDeleted, manifestsDeleted).
     */
-  def vacuum(keepLast: Int = 1): (Int, Int) = {
+  def vacuum(keepLast: Int = 1, orphanGraceMs: Long = 24L * 3600 * 1000): (Int, Int) = {
     require(keepLast >= 1, "must keep at least the current snapshot")
     val cur = currentVersion
     if (cur < 0) return (0, 0)
@@ -397,27 +405,35 @@ final class LakeTable(
     val horizon = gcHorizon // versions below this were GC'd by earlier vacuums
     val live: Set[String] = (keepFrom to cur)
       .flatMap(v => manifestAt(v).toSeq.flatMap(filesOf(_).map(_.path))).toSet
+    val doomed = (horizon until keepFrom).flatMap(manifestAt)
+    val superseded: Set[String] = doomed.flatMap(filesOf(_).map(_.path)).toSet -- live
+    var dataDeleted = superseded.count(rel => io.fs.delete(new Path(io.rootPath, rel), false))
     val dataDir = new Path(io.rootPath, "data")
-    val dataDeleted =
-      if (!io.fs.exists(dataDir)) 0
-      else io.fs.listStatus(dataDir).count { st =>
+    if (io.fs.exists(dataDir)) {
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      val referenced = live ++ superseded
+      dataDeleted += io.fs.listStatus(dataDir).count { st =>
         val rel = s"data/${st.getPath.getName}"
-        !live.contains(rel) && io.fs.delete(st.getPath, false)
+        !referenced.contains(rel) && st.getModificationTime < cutoff &&
+          io.fs.delete(st.getPath, false)
       }
+    }
     // the audit trail outlives snapshot retention: roll the lineage rows of
     // manifests about to be GC'd into the archive BEFORE deleting them.
-    // Idempotent (keyed by (batchId, partition)) so a crash-rerun doesn't
-    // duplicate; atomic write so a crash never corrupts the archive.
-    val doomed = (horizon until keepFrom).flatMap(manifestAt)
+    // Idempotent (keyed by (appId, batchId, partition) — batch numbering
+    // restarts at 0 for a new writer, so appId is part of the key) so a
+    // crash-rerun doesn't duplicate; atomic write so a crash never corrupts
+    // the archive.
     if (doomed.nonEmpty) {
       val acc = if (io.fs.exists(archivePath))
         Json.parse(io.readString(archivePath)).asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
       else Json.arr()
-      val seen = acc.elements().asScala
-        .map(l => (l.get("batchId").asLong, l.get("partition").asInt)).toSet
+      def key(l: JsonNode) = (
+        Option(l.get("appId")).map(_.asText).getOrElse(""),
+        l.get("batchId").asLong, l.get("partition").asInt)
+      val seen = acc.elements().asScala.map(key).toSet
       doomed.foreach(_.get("lineage").elements().asScala.foreach { l =>
-        if (!seen.contains((l.get("batchId").asLong, l.get("partition").asInt)))
-          acc.add(l): Unit
+        if (!seen.contains(key(l))) acc.add(l): Unit
       })
       io.writeAtomic(archivePath, Json.write(acc))
     }
@@ -490,7 +506,8 @@ final class LakeTable(
         graft.model.LineageRow(l.get("batchId").asLong, l.get("partition").asInt,
           l.get("firstOffset").asLong, l.get("lastOffset").asLong,
           l.get("numEvents").asLong, l.get("numUpserts").asLong,
-          l.get("numDeletes").asLong)
+          l.get("numDeletes").asLong,
+          Option(l.get("appId")).map(_.asText).getOrElse(""))
       }
     val archived =
       if (!io.fs.exists(archivePath)) Seq.empty

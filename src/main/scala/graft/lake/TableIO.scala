@@ -15,10 +15,46 @@ import java.nio.charset.StandardCharsets
   * manifest files that lost a race are unreferenced garbage, exactly like the
   * reference's orphaned uploads (SURVEY.md §4 caveat).
   */
+object TableIO {
+  /** Test seam: invoked before every attempt of a retried commit-boundary
+    * op; specs throw an IOException from here to simulate a transient
+    * object-store failure. Production never touches it.
+    */
+  @volatile private[graft] var faultHook: String => Unit = _ => ()
+}
+
 final class TableIO(val root: String, spark: SparkSession) {
   private val conf = spark.sparkContext.hadoopConfiguration
   val rootPath = new Path(root)
   val fs: FileSystem = rootPath.getFileSystem(conf)
+
+  /** Bounded retry with jittered exponential backoff for driver-side FS
+    * calls at the commit boundary (promote renames, snapshot swaps). Spark's
+    * task retries don't cover these, and on an object store one flaky
+    * copy/rename would otherwise fail the whole batch — the reference
+    * retries its uploads the same way (common/.../S3.java:41-47, retry
+    * count/backoff config S3ConfigurationConfig.java:108-110). Only
+    * IOExceptions (transient-IO shaped) retry; contract violations
+    * (IllegalArgument/IllegalState) propagate immediately.
+    */
+  private def retry[T](tag: String, attempts: Int = 4)(body: => T): T = {
+    var delay = 100L
+    var n = 0
+    while (true) {
+      n += 1
+      try {
+        TableIO.faultHook(tag)
+        return body
+      } catch {
+        case e: java.io.IOException =>
+          if (n >= attempts) throw e
+          Thread.sleep(delay / 2 +
+            java.util.concurrent.ThreadLocalRandom.current().nextLong(delay / 2 + 1))
+          delay *= 2
+      }
+    }
+    throw new IllegalStateException("unreachable")
+  }
 
   def snapshotPath = new Path(rootPath, "snapshot.json")
 
@@ -50,7 +86,8 @@ final class TableIO(val root: String, spark: SparkSession) {
     * PUT / catalog — the reader contract (only ever a complete file) is the
     * same as the reference's cursor overwrite (S3Writer.java:142-153).
     */
-  def writeAtomic(dest: Path, s: String): Unit = {
+  def writeAtomic(dest: Path, s: String): Unit = retry("writeAtomic") {
+    // the whole tmp-write + rename is idempotent, so it retries as a unit
     val tmp = new Path(dest.getParent, dest.getName + ".tmp")
     writeString(tmp, s)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
@@ -75,14 +112,19 @@ final class TableIO(val root: String, spark: SparkSession) {
     * appending, which is the reference's whole dedup story
     * (offset-named S3 keys, BlockGZIPFileWriter.java:161-163).
     */
-  def promoteSingleFile(srcDir: Path, dest: Path): Unit = {
+  def promoteSingleFile(srcDir: Path, dest: Path): Unit = retry("promote") {
     val parts = fs.listStatus(srcDir).filter(_.getPath.getName.startsWith("part-"))
-    require(parts.length == 1,
-      s"expected exactly one part file in $srcDir, got ${parts.length}")
-    fs.mkdirs(dest.getParent)
-    fs.delete(dest, false)
-    if (!fs.rename(parts.head.getPath, dest))
-      throw new java.io.IOException(s"rename ${parts.head.getPath} -> $dest failed")
+    if (parts.isEmpty && fs.exists(dest)) {
+      // a previous attempt's rename already won (failure happened after the
+      // move) — the retry is a no-op, the destination is complete
+    } else {
+      require(parts.length == 1,
+        s"expected exactly one part file in $srcDir, got ${parts.length}")
+      fs.mkdirs(dest.getParent)
+      fs.delete(dest, false)
+      if (!fs.rename(parts.head.getPath, dest))
+        throw new java.io.IOException(s"rename ${parts.head.getPath} -> $dest failed")
+    }
   }
 
   /** Exact row count from the parquet footer — manifest stats without a

@@ -65,5 +65,9 @@ final case class LineageRow(
     lastOffset: Long,
     numEvents: Long,
     numUpserts: Long,
-    numDeletes: Long
+    numDeletes: Long,
+    // writer identity: batch ids restart at 0 for a new writer (appId
+    // fencing), so (batchId, partition) alone is not a unique audit key
+    // across writer generations
+    appId: String = ""
 )

@@ -149,6 +149,27 @@ object EngineQueries {
       finalState(p.lake)
     },
 
+    // the ported partition-expansion system test
+    // (/root/reference/system_test/run.py:259-329): the topic starts with
+    // ONE active partition and grows mid-stream — partitions 1-3 first
+    // appear in the later batches. The watermark map, journal manifest
+    // partitions object and lake layout must all gain keys mid-stream, and
+    // the final state must still equal the LWW oracle over the same
+    // (expansion-filtered) log.
+    "eng_partition_expand" -> { (s, dir) =>
+      val root = workDir("partexpand")
+      val c = CdcQueries.changes(s, dir)
+      val b = c.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+        .collect()(0)
+      val mid = (b.getLong(0) + b.getLong(1)) / 2
+      val expanded = c.filter(col("partition") === 0 || col("offset") > mid)
+        .select("partition", "offset", "op", "repo", "path", "content")
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8)
+      p.runBatches(expanded, 4)
+      finalState(p.lake)
+    },
+
     // per-partition lineage metrics (the north star's audit trail), checked
     // as data: the lineage rows the lake accumulates across batches must
     // roll up to exactly the per-partition stats of the raw change log
@@ -263,6 +284,15 @@ object EngineQueries {
         |       CASE WHEN last_offset > b.mid THEN 'l' || CAST(last_offset % 5 AS VARCHAR) END AS lang,
         |       md5(content) AS content_md5
         |FROM lww, b WHERE rn = 1 AND op = 'upsert'""".stripMargin),
+
+    "eng_partition_expand" -> (CdcQueries.duckChanges +
+      """, b AS (SELECT (min("offset") + max("offset")) // 2 AS mid FROM changes),
+        |f AS (SELECT c.* FROM changes c, b WHERE c.partition = 0 OR c."offset" > b.mid)
+        |SELECT repo, path, partition, "offset" AS last_offset, content,
+        |       md5(content) AS content_md5
+        |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+        |      FROM f) t
+        |WHERE rn = 1 AND op = 'upsert'""".stripMargin),
 
     "eng_journal_roundtrip" -> (CdcQueries.duckChanges +
       """

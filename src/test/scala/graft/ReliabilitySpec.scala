@@ -1,0 +1,106 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import graft.gen.ChangeGen
+import graft.lake.{LakeTable, TableIO}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Commit-boundary reliability:
+  *   - transient FS failures at promote/snapshot-swap retry with backoff and
+  *     still commit (the reference's jittered upload retry,
+  *     common/.../S3.java:41-47, config S3ConfigurationConfig.java:108-110);
+  *   - vacuum never reclaims another writer's in-flight promotes: only
+  *     known-superseded files delete unconditionally, unreferenced orphans
+  *     wait out an mtime grace window.
+  */
+class ReliabilitySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+
+  private def withFault[T](hook: String => Unit)(body: => T): T =
+    try { TableIO.faultHook = hook; body }
+    finally TableIO.faultHook = _ => ()
+
+  test("one transient promote failure per file still commits the merge") {
+    val changes = ChangeGen.changes(spark, 500, nKeys = 80, partitions = 2)
+    val lake = new LakeTable(SparkTestSession.tempDir("retrylake"), spark, subBuckets = 2)
+    val failures = new AtomicInteger(0)
+    val failedOnce = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    withFault { tag =>
+      // first attempt of every promote (per thread) fails
+      if (tag == "promote" && failedOnce.add(Thread.currentThread().getId)) {
+        failures.incrementAndGet()
+        throw new java.io.IOException("injected transient promote failure")
+      }
+    } {
+      lake.merge(changes, 0L)
+    }
+    assert(failures.get() >= 1, "the fault must actually have fired")
+    assert(lake.lastBatchId === 0L)
+    assert(lake.read().count() > 0L)
+  }
+
+  test("one transient snapshot-swap failure still commits") {
+    val changes = ChangeGen.changes(spark, 300, nKeys = 50, partitions = 2)
+    val lake = new LakeTable(SparkTestSession.tempDir("retrysnap"), spark, subBuckets = 2)
+    val fired = new AtomicInteger(0)
+    withFault { tag =>
+      if (tag == "writeAtomic" && fired.getAndIncrement() == 0)
+        throw new java.io.IOException("injected transient rename failure")
+    } {
+      lake.merge(changes, 0L)
+    }
+    assert(fired.get() >= 2, "retry must have re-attempted the swap")
+    assert(lake.lastBatchId === 0L)
+  }
+
+  test("a persistent failure surfaces after bounded attempts") {
+    val changes = ChangeGen.changes(spark, 200, nKeys = 30, partitions = 1)
+    val lake = new LakeTable(SparkTestSession.tempDir("retryfail"), spark, subBuckets = 1)
+    val attempts = new AtomicInteger(0)
+    val e = intercept[java.io.IOException] {
+      withFault { tag =>
+        if (tag == "promote") {
+          attempts.incrementAndGet()
+          throw new java.io.IOException("injected permanent failure")
+        }
+      } {
+        lake.merge(changes, 0L)
+      }
+    }
+    assert(e.getMessage.contains("injected"))
+    assert(attempts.get() === 4, "exactly `attempts` tries, then give up")
+    assert(lake.lastBatchId === -1L, "a failed batch must not commit")
+  }
+
+  test("vacuum spares in-flight promotes; orphans reclaim only past grace") {
+    val changes = ChangeGen.changes(spark, 800, nKeys = 100, partitions = 2)
+    val root = SparkTestSession.tempDir("vacgrace")
+    val lake = new LakeTable(root, spark, subBuckets = 2)
+    lake.merge(changes.filter(col("offset") < 200), 0L)
+    lake.merge(changes.filter(col("offset") >= 200), 1L)
+
+    // simulate a CONCURRENT writer that has promoted a file into data/ but
+    // has not yet committed its manifest (fresh mtime, referenced nowhere)
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val inflight = new Path(root, "data/part-00000-s0001-b000000000099.parquet")
+    val out = fs.create(inflight, true)
+    out.write("pretend-parquet".getBytes("UTF-8"))
+    out.close()
+
+    val (dataGone, _) = lake.vacuum(keepLast = 1)
+    assert(dataGone > 0, "superseded v0 bucket files must be reclaimed")
+    assert(fs.exists(inflight),
+      "an unreferenced FRESH file (another writer's in-flight promote) must survive")
+
+    // with the grace window elapsed (forced to 0), the orphan is reclaimed
+    val (orphanGone, _) = lake.vacuum(keepLast = 1, orphanGraceMs = 0L)
+    assert(orphanGone === 1)
+    assert(!fs.exists(inflight))
+
+    // table state is intact throughout
+    assert(lake.read().count() > 0L)
+  }
+}
