@@ -341,6 +341,11 @@ final class LakeTable(
     } finally deduped.unpersist()
   }
 
+  // NOTE: one full manifest per commit is O(live files) driver JSON — fine
+  // at current bucket counts, the next driver bottleneck at 2^14 buckets ×
+  // many partitions. The sharding plan (manifest deltas + per-partition
+  // shards) is sketched in SURVEY.md §4.1; implement it when bucket counts
+  // grow, not before.
   private def commit(files: Seq[FileEntry], wm: Map[Int, Long],
       schemaVersions: IndexedSeq[StructType], batchId: Long,
       lineage: Seq[graft.model.LineageRow], sub: Int): Unit = {

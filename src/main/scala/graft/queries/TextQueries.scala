@@ -60,13 +60,22 @@ object TextQueries {
   private def minhashSig(s: SparkSession, dir: String): DataFrame =
     minhashSigFrom(shingles(s, dir))
 
+  /** Pathological-bucket cap: a band bucket of n docs yields n·(n-1)/2
+    * candidate pairs by design, so ONE degenerate bucket (boilerplate text,
+    * empty-ish shingle sets colliding) goes quadratic at 100 TB. Buckets
+    * larger than this are dropped whole — their members are either spam or
+    * still candidate-paired through their other, more selective bands. The
+    * constant is interpolated into the DuckDB oracle so the two sides
+    * cannot drift.
+    */
+  private val maxLshBucket = 64
+
   /** LSH candidate pairs: 4 bands of 2 minhashes each; a pair is a candidate
     * if any band matches. One pass over the signatures (bands unpivoted with
     * a generator, so the expensive shingle+minhash subtree appears ONCE in
     * the plan — a self-join would recompute it per side per band, 8 scans at
-    * 100 TB), then pairs generated per band bucket — never all-pairs. Bucket
-    * rows are O(bucket size); a production run would cap pathological
-    * buckets (a bucket of n docs yields n·(n-1)/2 candidates by design).
+    * 100 TB), then pairs generated per band bucket — never all-pairs, and
+    * buckets above [[maxLshBucket]] dropped before pair expansion.
     */
   private def lshPairsFrom(sh: DataFrame): DataFrame = {
     val sig = minhashSigFrom(sh)
@@ -77,7 +86,7 @@ object TextQueries {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
     bands.groupBy(col("band"), col("bkey"))
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
-      .filter(size(col("ids")) > 1)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxLshBucket)
       .select(explode(expr(
         "flatten(transform(ids, (x, i) -> " +
           "transform(slice(ids, i + 2, size(ids)), y -> struct(x AS doc_a, y AS doc_b))))"))
@@ -115,10 +124,14 @@ object TextQueries {
        |  UNION ALL SELECT doc_id, 1, m2 * $M31 + m3 FROM sig
        |  UNION ALL SELECT doc_id, 2, m4 * $M31 + m5 FROM sig
        |  UNION ALL SELECT doc_id, 3, m6 * $M31 + m7 FROM sig
+       |), bsz AS (
+       |  SELECT band, bkey, count(*) AS c FROM bands GROUP BY 1, 2
        |), pairs AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+       |  JOIN bsz s ON s.band = a.band AND s.bkey = a.bkey
+       |  WHERE s.c <= $maxLshBucket
        |)""".stripMargin
 
   // language-ID keyword table: marker word per language, scored by
