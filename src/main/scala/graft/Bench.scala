@@ -29,17 +29,23 @@ object Bench {
 
     val headline = Seq(
       "cdc_lww_state", "cdc_chunk_assign", "cdc_running_totals",
+      "cdc_gz_archive_read",
       "ana_pricing_summary", "ana_region_revenue", "ana_top_customers",
       "ana_sessionize",
       "txt_dedup_exact", "txt_minhash", "txt_lsh_pairs", "txt_token_count",
       "emb_cosine_topk", "emb_lsh_buckets",
       "eng_cdc_merge")
 
-    // one untimed pass of the flagship query: loads file indexes, compiles
-    // codegen, JITs the hot md5/agg paths. Timed numbers then measure the
-    // operators, not first-query JVM warmup (cold fresh-JVM numbers are
-    // ScalingBench's job — see BENCH/BASELINE.md).
+    // one untimed pass of the flagship query AND the merge pipeline: loads
+    // file indexes, compiles codegen, JITs the hot md5/agg paths, and warms
+    // the write-side classes (dynamic-partition committer, parquet writer,
+    // footer reader) that only the eng_ path exercises — measured ~6s of
+    // one-time cost on this VM, which would otherwise be billed to the first
+    // timed merge. Timed numbers then measure the operators, not first-query
+    // JVM warmup (cold fresh-JVM numbers are ScalingBench's job — see
+    // BENCH/BASELINE.md).
     SparkEntry.queries("cdc_lww_state")(spark, sfDir).count(): Unit
+    SparkEntry.queries("eng_cdc_merge")(spark, sfDir).count(): Unit
 
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)

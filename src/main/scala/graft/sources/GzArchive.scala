@@ -134,8 +134,16 @@ object GzArchive {
     if (header.nonEmpty) {
       gzipStream.write(header)
       gzipStream.finish()
-      gzipStream = new GZIPOutputStream(fileStream)
+      // record chunk 0's start BEFORE opening the next member: the
+      // GZIPOutputStream constructor writes its 10-byte member header
+      // immediately, so the reference's order (stream first, then
+      // getNumBytesWritten — BlockGZIPFileWriter.java:147-149) records an
+      // offset 10 bytes INSIDE member 1. Latent there (its reader re-reads
+      // whole files for header init, S3FilesReader.java:236-243, and
+      // non-header chunk offsets are derived arithmetically); fatal for our
+      // ranged chunk reads, so deliberately fixed.
       chunks.head.byteOffset = fileStream.numBytes
+      gzipStream = new GZIPOutputStream(fileStream)
     }
 
     private def current: MutChunk = chunks.last

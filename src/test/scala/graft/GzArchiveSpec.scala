@@ -110,6 +110,33 @@ class GzArchiveSpec extends AnyFunSuite {
       localFs.getFileStatus(w.dataFilePath).getLen.toInt)) === lines)
   }
 
+  test("header is its own leading gzip member; chunk 0 starts after it") {
+    // port of the header-as-own-chunk behavior
+    // (BlockGZIPFileWriter.java:142-150): readers that need the header know
+    // exactly how many bytes to skip because chunk 0's byte_offset excludes it
+    val dir = new Path(SparkTestSession.tempDir("gzheader"))
+    val header = "format=text v1\n".getBytes("UTF-8")
+    val w = new GzArchive.BlockGzWriter(localFs, dir, "hdr", 0L, 1000L, header)
+    val lines = (0 until 5).map(i => s"rec $i")
+    lines.foreach(l => w.write((l + "\n").getBytes("UTF-8")))
+    w.close()
+
+    val idx = GzArchive.parseIndex(new String(readFileBytes(w.indexFilePath, 0,
+      localFs.getFileStatus(w.indexFilePath).getLen.toInt), "UTF-8"))
+    val c0 = idx.chunks.head
+    assert(c0.byteOffset > 0, "chunk 0 must start after the header member")
+    // bytes [0, c0.byteOffset) are the header member, independently gunzippable
+    assert(gunzipAll(readFileBytes(w.dataFilePath, 0, c0.byteOffset.toInt))
+      === Seq("format=text v1"))
+    // chunk 0 decodes the records from its recorded range
+    assert(gunzipAll(readFileBytes(w.dataFilePath, c0.byteOffset, c0.byteLength.toInt))
+      === lines)
+    // and the whole file still reads as one stream: header + records
+    val total = localFs.getFileStatus(w.dataFilePath).getLen.toInt
+    assert(gunzipAll(readFileBytes(w.dataFilePath, 0, total))
+      === ("format=text v1" +: lines))
+  }
+
   test("distributed roundtrip with file roll + index-pruned resume") {
     import spark.implicits._
     val root = SparkTestSession.tempDir("gzdist")
