@@ -170,6 +170,37 @@ object EngineQueries {
       finalState(p.lake)
     },
 
+    // THE MIGRATION PATH: backfill an existing connector archive into the
+    // lake. Records are laid down in the reference's actual block-gzip
+    // container (text-framed lines), read back chunk-parallel, decoded, and
+    // merged through the full exactly-once pipeline — the first task a real
+    // user of the connector has when switching to this engine. Offsets
+    // become archive offsets (per-partition consecutive, like Kafka's);
+    // order within a partition is preserved, so LWW winners are identical.
+    "eng_archive_backfill" -> { (s, dir) =>
+      val root = workDir("backfill")
+      val c = CdcQueries.changes(s, dir)
+      // text framing: op \t repo \t path \t content, null content as ∅
+      val lines = c.select(col("partition"), col("offset"),
+        concat_ws("\t", col("op"), col("repo"), col("path"),
+          coalesce(col("content"), lit("∅"))).as("line"))
+      graft.sources.GzArchive.writeArchive(lines, s"$root/archive", "changes",
+        "offset", chunkThreshold = 8192, recordsPerFile = 5000)
+      val arch = graft.sources.GzArchive.read(s, s"$root/archive")
+      val f = split(col("value"), "\t")
+      val decoded = arch.select(
+        col("partition"), col("offset"),
+        element_at(f, 1).as("op"),
+        element_at(f, 2).as("repo"),
+        element_at(f, 3).as("path"),
+        when(element_at(f, 4) === "∅", lit(null: String))
+          .otherwise(element_at(f, 4)).as("content"))
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
+      p.runBatches(decoded, 4)
+      finalState(p.lake)
+    },
+
     // per-partition lineage metrics (the north star's audit trail), checked
     // as data: the lineage rows the lake accumulates across batches must
     // roll up to exactly the per-partition stats of the raw change log
@@ -284,6 +315,23 @@ object EngineQueries {
         |       CASE WHEN last_offset > b.mid THEN 'l' || CAST(last_offset % 5 AS VARCHAR) END AS lang,
         |       md5(content) AS content_md5
         |FROM lww, b WHERE rn = 1 AND op = 'upsert'""".stripMargin),
+
+    // archive offsets are row_number-1 per partition in event-offset order
+    // (what writeArchive assigns); LWW by archive offset picks the same
+    // winners because the mapping is order-preserving within each partition
+    // and every key lives in exactly one partition
+    "eng_archive_backfill" -> (CdcQueries.duckChanges +
+      """, arch AS (
+        |  SELECT partition,
+        |         row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS aoff,
+        |         op, repo, path, content
+        |  FROM changes
+        |)
+        |SELECT repo, path, partition, aoff AS last_offset, content,
+        |       md5(content) AS content_md5
+        |FROM (SELECT *, row_number() OVER (PARTITION BY repo, path ORDER BY aoff DESC) AS rn
+        |      FROM arch) t
+        |WHERE rn = 1 AND op = 'upsert'""".stripMargin),
 
     "eng_partition_expand" -> (CdcQueries.duckChanges +
       """, b AS (SELECT (min("offset") + max("offset")) // 2 AS mid FROM changes),
