@@ -32,7 +32,9 @@ final class ChangeJournal(
     val root: String,
     spark: SparkSession,
     val chunkBytes: Long = 64L * 1024 * 1024,
-    val appId: String = "graft") {
+    val appId: String = "graft",
+    val checkpointEvery: Int = 16) {
+  require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
 
   private val io = new TableIO(root, spark)
 
@@ -66,8 +68,48 @@ final class ChangeJournal(
         .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
   }
 
-  private def liveFiles(): Seq[JsonNode] =
-    manifest().map(_.get("files").elements().asScala.toSeq).getOrElse(Seq.empty)
+  private def manifestAt(version: Long): Option[JsonNode] = {
+    val p = new Path(io.rootPath, f"manifest-$version%012d.json")
+    if (io.fs.exists(p)) Some(Json.parse(io.readString(p))) else None
+  }
+
+  /** The journal is append-only, so a delta manifest is just the files this
+    * commit added (SURVEY.md §4.1 applied to the journal: commit JSON is
+    * O(batch's files), not O(journal history)); every `checkpointEvery`-th
+    * commit writes the full listing so readers fold a bounded chain.
+    */
+  private def isDelta(m: JsonNode): Boolean = m.has("added")
+
+  private def filesOf(m: JsonNode): Seq[JsonNode] = {
+    if (!isDelta(m)) return m.get("files").elements().asScala.toSeq
+    var chain = List(m)
+    while (isDelta(chain.head)) {
+      val pv = chain.head.get("version").asLong - 1
+      chain = manifestAt(pv).getOrElse(throw new IllegalStateException(
+        s"journal manifest chain broken at version $pv under $root")) :: chain
+    }
+    chain.head.get("files").elements().asScala.toSeq ++
+      chain.tail.flatMap(_.get("added").elements().asScala)
+  }
+
+  // resolved listing cached per snapshot version (chain resolution reads up
+  // to checkpointEvery JSONs; an external writer bumps the version, which
+  // invalidates the cache for free)
+  @volatile private var filesCache: Option[(Long, Seq[JsonNode])] = None
+
+  private def liveFiles(): Seq[JsonNode] = io.readSnapshot() match {
+    case None => Seq.empty
+    case Some(snap) =>
+      val v = snap.get("version").asLong
+      filesCache match {
+        case Some((cv, fs)) if cv == v => fs
+        case _ =>
+          val fs = filesOf(Json.parse(
+            io.readString(new Path(io.rootPath, snap.get("manifest").asText))))
+          filesCache = Some((v, fs))
+          fs
+      }
+  }
 
   // ---- append (the sink) ------------------------------------------------
 
@@ -128,7 +170,7 @@ final class ChangeJournal(
       sum(col("bytes_uncompressed")).as("byte_length_uncompressed"))
       .collect()
     if (chunkStats.isEmpty) {
-      commitManifest(liveFiles(), next, batchId, mergedSchema)
+      commitManifest(Nil, next, batchId, mergedSchema)
       return 0L
     }
 
@@ -186,27 +228,39 @@ final class ChangeJournal(
     val newNext = next ++ byPartition.map { case (p, chunks) =>
       p -> (chunks.map(_.getLong(4)).max + 1L)
     }
-    commitManifest(liveFiles() ++ newFiles, newNext, batchId, mergedSchema)
+    commitManifest(newFiles, newNext, batchId, mergedSchema)
     appended
     } finally fresh.unpersist()
   }
 
+  /** Commit `added` (the batch's new files) on top of the current listing —
+    * written as a delta except at checkpoint cadence or first commit.
+    */
   private def commitManifest(
-      files: Seq[JsonNode], next: Map[Int, Long], batchId: Long,
+      added: Seq[JsonNode], next: Map[Int, Long], batchId: Long,
       schema: org.apache.spark.sql.types.StructType): Unit = {
-    val version = io.readSnapshot().map(_.get("version").asLong + 1).getOrElse(0L)
+    val prev = io.readSnapshot()
+    val version = prev.map(_.get("version").asLong + 1).getOrElse(0L)
+    val prevCkpt = prev.map { _ =>
+      val pm = manifest().get
+      Option(pm.get("checkpointVersion")).map(_.asLong)
+        .getOrElse(pm.get("version").asLong)
+    }
+    val resolved = liveFiles() ++ added
+    val writeFull = prev.isEmpty || version - prevCkpt.get >= checkpointEvery
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
     m.put("appId", appId)
     m.put("schema", schema.json)
+    m.put("checkpointVersion", if (writeFull) version else prevCkpt.get)
     val pn = m.putObject("partitions")
     next.keySet.toSeq.sorted.foreach { p =>
       val o = pn.putObject(p.toString)
       o.put("nextOffset", next.getOrElse(p, 0L))
     }
-    val fa = m.putArray("files")
-    files.foreach(fa.add)
+    val fa = m.putArray(if (writeFull) "files" else "added")
+    (if (writeFull) resolved else added).foreach(fa.add)
     val manifestRel = f"manifest-$version%012d.json"
     io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
     val snap = Json.obj()
@@ -215,6 +269,7 @@ final class ChangeJournal(
     snap.put("batchId", batchId)
     snap.put("appId", appId)
     io.swapSnapshot(Json.write(snap))
+    filesCache = Some((version, resolved))
   }
 
   // ---- read / replay (the source) ---------------------------------------

@@ -47,7 +47,9 @@ final class LakeTable(
     val root: String,
     spark: SparkSession,
     val subBuckets: Int = 16,
-    val appId: String = "graft") {
+    val appId: String = "graft",
+    val checkpointEvery: Int = 16) {
+  require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
 
   private val io = new TableIO(root, spark)
 
@@ -110,14 +112,67 @@ final class LakeTable(
   private case class FileEntry(partition: Int, sub: Int, path: String,
       schemaId: Int, numRecords: Long)
 
-  private def filesOf(m: JsonNode): Seq[FileEntry] =
-    m.get("files").elements().asScala.map { f =>
+  private def entriesOf(arr: JsonNode): Seq[FileEntry] =
+    arr.elements().asScala.map { f =>
       FileEntry(f.get("partition").asInt, f.get("sub").asInt,
         f.get("path").asText, f.get("schemaId").asInt, f.get("num_records").asLong)
     }.toSeq
 
-  private def liveFiles(): Seq[FileEntry] =
-    manifest().map(filesOf).getOrElse(Seq.empty)
+  /** A delta manifest records only the buckets its commit touched; a full
+    * manifest (checkpoint) records every live file. SURVEY.md §4.1 step 1:
+    * commit cost drops from O(live files) to O(touched buckets).
+    */
+  private def isDelta(m: JsonNode): Boolean = m.has("touched")
+
+  private def touchedOf(m: JsonNode): Seq[(Int, Int)] =
+    m.get("touched").elements().asScala
+      .map(t => (t.get(0).asInt, t.get(1).asInt)).toSeq
+
+  /** Resolve a manifest's live-file set. Checkpoints answer directly; a delta
+    * folds forward from the nearest checkpoint at or below it (walk back
+    * until `"files"` appears — chain length is bounded by `checkpointEvery`,
+    * or shorter after a vacuum materialized a checkpoint). The fold keys on
+    * (partition, sub): merge/compact maintain exactly one live file per
+    * bucket, so `touched` removes the bucket's previous file and `added`
+    * supplies its replacement (absent when deletes emptied the bucket).
+    */
+  private def filesOf(m: JsonNode): Seq[FileEntry] = {
+    if (!isDelta(m)) return entriesOf(m.get("files"))
+    val v = m.get("version").asLong
+    var chain = List(m)
+    while (isDelta(chain.head)) {
+      val pv = chain.head.get("version").asLong - 1
+      chain = manifestAt(pv).getOrElse(throw new IllegalArgumentException(
+        s"manifest chain for version $v broken at $pv (vacuumed)")) :: chain
+    }
+    val state = scala.collection.mutable.LinkedHashMap.empty[(Int, Int), FileEntry]
+    entriesOf(chain.head.get("files")).foreach(f => state((f.partition, f.sub)) = f)
+    chain.tail.foreach { d =>
+      touchedOf(d).foreach(state.remove)
+      entriesOf(d.get("added")).foreach(f => state((f.partition, f.sub)) = f)
+    }
+    state.values.toSeq.sortBy(f => (f.partition, f.sub))
+  }
+
+  // resolved-file cache keyed by snapshot version: merge() consults
+  // liveFiles() more than once per batch, and chain resolution reads up to
+  // checkpointEvery small JSONs — cache per version, invalidated for free
+  // because an external writer's commit changes currentVersion.
+  @volatile private var filesCache: Option[(Long, Seq[FileEntry])] = None
+
+  private def liveFiles(): Seq[FileEntry] = io.readSnapshot() match {
+    case None => Seq.empty
+    case Some(snap) =>
+      val v = snap.get("version").asLong
+      filesCache match {
+        case Some((cv, fs)) if cv == v => fs
+        case _ =>
+          val fs = filesOf(Json.parse(
+            io.readString(new Path(io.rootPath, snap.get("manifest").asText))))
+          filesCache = Some((v, fs))
+          fs
+      }
+  }
 
   // ---- read ---------------------------------------------------------------
 
@@ -218,7 +273,7 @@ final class LakeTable(
       .collect()
     mark("stats")
     if (bucketRows.isEmpty) {
-      commit(liveFiles(), wm, newSchemas, batchId, Nil, sb)
+      commit(Delta(Nil, Nil), wm, newSchemas, batchId, Nil, sb)
       return 0L
     }
     // partition-level rollup: (partition, maxOff, minOff, n, nUp)
@@ -229,9 +284,8 @@ final class LakeTable(
     val touched: Set[(Int, Int)] =
       bucketRows.map(r => (r.getInt(0), r.getInt(1))).toSet
 
-    val files = liveFiles()
-    val (touchedFiles, untouchedFiles) =
-      files.partition(f => touched.contains((f.partition, f.sub)))
+    val touchedFiles =
+      liveFiles().filter(f => touched.contains((f.partition, f.sub)))
 
     // current state of touched buckets only (file-level pruning: untouched
     // buckets never leave disk; a file IS one bucket, so reading the touched
@@ -334,38 +388,81 @@ final class LakeTable(
     val lineage = statRows.map { case (p, maxOff, minOff, n, nUp) =>
       graft.model.LineageRow(batchId, p, minOff, maxOff, n, nUp, n - nUp, appId)
     }
-    commit(untouchedFiles ++ newEntries, newWm, newSchemas, batchId, lineage, sb)
+    commit(Delta(touched.toSeq.sorted, newEntries), newWm, newSchemas, batchId,
+      lineage, sb)
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
     statRows.map(_._4).sum
     } finally deduped.unpersist()
   }
 
-  // NOTE: one full manifest per commit is O(live files) driver JSON — fine
-  // at current bucket counts, the next driver bottleneck at 2^14 buckets ×
-  // many partitions. The sharding plan (manifest deltas + per-partition
-  // shards) is sketched in SURVEY.md §4.1; implement it when bucket counts
-  // grow, not before.
-  private def commit(files: Seq[FileEntry], wm: Map[Int, Long],
+  /** How a commit changes the live-file set. `Full` replaces it wholesale
+    * (compaction); `Delta` replaces the files of `touched` buckets with
+    * `added` (a MERGE). Deltas are written log-structured (SURVEY.md §4.1):
+    * the manifest records only the change, so commit JSON is O(touched
+    * buckets) not O(live files) — at 2^14 buckets × hundreds of partitions a
+    * batch touching 0.1% of keys writes KBs, not the whole table listing.
+    * Every `checkpointEvery`-th commit materializes a full checkpoint to
+    * bound the reader's fold-forward chain (the Delta Lake checkpoint shape).
+    */
+  private sealed trait CommitChange
+  private case class Full(files: Seq[FileEntry]) extends CommitChange
+  private case class Delta(touched: Seq[(Int, Int)], added: Seq[FileEntry])
+    extends CommitChange
+
+  private def fileEntryJson(f: FileEntry): JsonNode = {
+    val n = Json.obj()
+    n.put("partition", f.partition); n.put("sub", f.sub)
+    n.put("path", f.path); n.put("schemaId", f.schemaId)
+    n.put("num_records", f.numRecords)
+    n
+  }
+
+  private def commit(change: CommitChange, wm: Map[Int, Long],
       schemaVersions: IndexedSeq[StructType], batchId: Long,
       lineage: Seq[graft.model.LineageRow], sub: Int): Unit = {
-    val version = io.readSnapshot().map(_.get("version").asLong + 1).getOrElse(0L)
+    val prev = io.readSnapshot()
+    val version = prev.map(_.get("version").asLong + 1).getOrElse(0L)
+    // nearest checkpoint at or below the previous version (advisory — the
+    // reader walks back to the first actual full manifest; this only drives
+    // the cadence decision, and a vacuum-materialized checkpoint in between
+    // merely checkpoints again sooner than strictly needed)
+    val prevCkpt = prev.map { _ =>
+      val pm = manifest().get
+      Option(pm.get("checkpointVersion")).map(_.asLong)
+        .getOrElse(pm.get("version").asLong)
+    }
+    // the post-commit live set (cheap: previous set comes from the cache)
+    val resolved: Seq[FileEntry] = (change match {
+      case Full(fs) => fs
+      case Delta(touched, added) =>
+        val t = touched.toSet
+        liveFiles().filterNot(f => t.contains((f.partition, f.sub))) ++ added
+    }).sortBy(f => (f.partition, f.sub))
+    val writeFull = change.isInstanceOf[Full] || prev.isEmpty ||
+      version - prevCkpt.get >= checkpointEvery
+
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
     m.put("appId", appId)
     m.put("subBuckets", sub)
+    m.put("checkpointVersion", if (writeFull) version else prevCkpt.get)
     val wmNode = m.putObject("watermarks")
     wm.toSeq.sortBy(_._1).foreach { case (p, o) => wmNode.put(p.toString, o) }
     val sArr = m.putArray("schemas")
     schemaVersions.foreach(s => sArr.add(s.json))
-    val fa = m.putArray("files")
-    files.sortBy(f => (f.partition, f.sub)).foreach { f =>
-      val n = Json.obj()
-      n.put("partition", f.partition); n.put("sub", f.sub)
-      n.put("path", f.path); n.put("schemaId", f.schemaId)
-      n.put("num_records", f.numRecords)
-      fa.add(n)
+    if (writeFull) {
+      val fa = m.putArray("files")
+      resolved.foreach(f => fa.add(fileEntryJson(f)))
+    } else {
+      val Delta(touched, added) = change: @unchecked
+      val ta = m.putArray("touched")
+      touched.foreach { case (p, s) =>
+        val t = ta.addArray(); t.add(p); t.add(s): Unit
+      }
+      val aa = m.putArray("added")
+      added.sortBy(f => (f.partition, f.sub)).foreach(f => aa.add(fileEntryJson(f)))
     }
     val la = m.putArray("lineage")
     lineage.foreach { l =>
@@ -384,6 +481,7 @@ final class LakeTable(
     snap.put("batchId", batchId)
     snap.put("appId", appId)
     io.swapSnapshot(Json.write(snap))
+    filesCache = Some((version, resolved))
   }
 
   /** Garbage-collect history: keep the last `keepLast` snapshots readable,
@@ -408,6 +506,23 @@ final class LakeTable(
     if (cur < 0) return (0, 0)
     val keepFrom = math.max(0L, cur - (keepLast - 1))
     val horizon = gcHorizon // versions below this were GC'd by earlier vacuums
+    // Keep the kept versions' manifest chains self-contained: if the oldest
+    // kept manifest is a delta, rewrite it in place as its (semantically
+    // identical) resolved checkpoint, so every manifest below keepFrom can
+    // be deleted without breaking fold-forward resolution of kept versions.
+    // Atomic rename: a crash mid-rewrite leaves the old delta intact.
+    manifestAt(keepFrom).foreach { m =>
+      if (isDelta(m)) {
+        val resolved = filesOf(m)
+        val o = m.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+        o.remove("touched"); o.remove("added")
+        o.put("checkpointVersion", keepFrom)
+        val fa = o.putArray("files")
+        resolved.foreach(f => fa.add(fileEntryJson(f)))
+        io.writeAtomic(new Path(io.rootPath, f"manifest-$keepFrom%012d.json"),
+          Json.write(o))
+      }
+    }
     val live: Set[String] = (keepFrom to cur)
       .flatMap(v => manifestAt(v).toSeq.flatMap(filesOf(_).map(_.path))).toSet
     val doomed = (horizon until keepFrom).flatMap(manifestAt)
@@ -499,7 +614,7 @@ final class LakeTable(
     }).sortBy(f => (f.partition, f.sub))
     io.fs.delete(staging, true)
     io.fs.delete(new Path(io.rootPath, "_staging"), true)
-    commit(entries, watermarks(), ss, lastBatchId, Nil, newSubBuckets)
+    commit(Full(entries), watermarks(), ss, lastBatchId, Nil, newSubBuckets)
   }
 
   /** Per-batch per-partition lineage (audit trail): the vacuum archive's

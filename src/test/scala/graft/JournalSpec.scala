@@ -85,6 +85,35 @@ class JournalSpec extends AnyFunSuite {
     }
   }
 
+  test("delta manifests: appends record only new files; cold reads resolve") {
+    import graft.lake.Json
+    val root = SparkTestSession.tempDir("jdelta")
+    val j = new ChangeJournal(root, spark, 2048, checkpointEvery = 3)
+    val changes = ChangeGen.changes(spark, 500, partitions = 2)
+    (0 until 5).foreach { b =>
+      j.append(changes.filter(col("offset") >= b * 50 && col("offset") < (b + 1) * 50),
+        b.toLong)
+    }
+    def manifestJson(v: Int) = Json.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, f"manifest-$v%012d.json"))))
+    // cadence 3: full at v0 and v3, deltas at v1, v2, v4
+    assert(manifestJson(0).has("files"))
+    Seq(1, 2, 4).foreach(v => assert(manifestJson(v).has("added") &&
+      !manifestJson(v).has("files"), s"v$v must be a delta"))
+    assert(manifestJson(3).has("files"), "v3 must checkpoint")
+    // a delta lists only the batch's files (2 partitions -> 2 files)
+    assert(manifestJson(4).get("added").size === 2)
+    // a COLD instance (no cache, resolution purely from disk) sees everything
+    val cold = new ChangeJournal(root, spark, 2048, checkpointEvery = 3)
+    assert(cold.read().count() === 500L) // 5 batches x 2 partitions x 50 offsets
+    assert(cold.nextOffsets() === Map(0 -> 250L, 1 -> 250L))
+    val src = changes.filter(col("offset") < 250)
+      .select("partition", "offset", "content")
+    val got = cold.read().select("partition", "offset", "content")
+    assert(src.exceptAll(got).isEmpty && got.exceptAll(src).isEmpty)
+  }
+
   test("multi-append: offsets continue, journal holds the full log") {
     val root = SparkTestSession.tempDir("jmulti")
     val j = new ChangeJournal(root, spark, 2048)

@@ -85,6 +85,62 @@ class LakeSpec extends AnyFunSuite {
     assert(lake.lineage().count() === lineageBefore)
   }
 
+  test("delta manifests: commits record only touched buckets; chains resolve") {
+    import graft.lake.Json
+    val changes = ChangeGen.changes(spark, 2400, nKeys = 200, partitions = 4,
+      deletePct = 10)
+    val root = SparkTestSession.tempDir("lakedelta")
+    val lake = new LakeTable(root, spark, subBuckets = 4, checkpointEvery = 4)
+    val n = 6 // v0 ckpt, v1-v3 deltas, v4 ckpt (cadence), v5 delta
+    (0 until n).foreach { b =>
+      lake.merge(changes.filter(col("offset") >= b * 100 && col("offset") < (b + 1) * 100), b.toLong)
+    }
+    def manifestJson(v: Int) = Json.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, f"manifest-$v%012d.json"))))
+    // cadence: full at 0 and 4, deltas elsewhere
+    assert(!manifestJson(0).has("touched") && manifestJson(0).has("files"))
+    (1 to 3).foreach(v => assert(manifestJson(v).has("touched") &&
+      !manifestJson(v).has("files"), s"v$v must be a delta"))
+    assert(!manifestJson(4).has("touched"), "v4 must checkpoint (cadence 4)")
+    assert(manifestJson(5).has("touched"))
+    // a delta's JSON is O(touched buckets), and added ⊆ touched
+    val d = manifestJson(5)
+    import scala.jdk.CollectionConverters._
+    val touched = d.get("touched").elements().asScala
+      .map(t => (t.get(0).asInt, t.get(1).asInt)).toSet
+    val added = d.get("added").elements().asScala
+      .map(f => (f.get("partition").asInt, f.get("sub").asInt)).toSet
+    assert(added.subsetOf(touched))
+    assert(touched.size <= 16, "touched is bounded by partitions × subBuckets")
+    // current state equals the oracle (resolution folds the chain correctly)
+    assertMatchesOracle(lake,
+      changes.filter(col("offset") < (n * 100).toLong))
+    // time travel to a mid-chain delta version resolves too
+    val got2 = lake.readVersion(2L)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want2 = ChangeGen.oracleFinalState(changes.filter(col("offset") < 300))
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+    // a FRESH instance (cold cache, resolution from disk only) reads the same
+    val cold = new LakeTable(root, spark, subBuckets = 4, checkpointEvery = 4)
+    assertMatchesOracle(cold, changes.filter(col("offset") < (n * 100).toLong))
+    // vacuum to keepLast=1: keepFrom=5 is a delta -> materialized in place;
+    // all manifests below are deleted, table still reads, audit trail intact
+    val lineageBefore = lake.lineage().count()
+    val (dataGone, manifestsGone) = lake.vacuum(keepLast = 1)
+    assert(manifestsGone === 5)
+    assert(dataGone > 0)
+    assert(!manifestJson(5).has("touched") && manifestJson(5).has("files"),
+      "vacuum must materialize the oldest kept delta as a checkpoint")
+    assertMatchesOracle(lake, changes.filter(col("offset") < (n * 100).toLong))
+    assert(lake.lineage().count() === lineageBefore)
+    // and a new writer over the vacuumed table keeps working
+    val after = new LakeTable(root, spark, subBuckets = 4, checkpointEvery = 4)
+    after.merge(changes.filter(col("offset") >= (n * 100).toLong), n.toLong)
+    assertMatchesOracle(after, changes)
+  }
+
   test("a new writer's restarted batch numbering is not swallowed as replays") {
     val changes = ChangeGen.changes(spark, 1000, nKeys = 100, partitions = 4)
     val root = SparkTestSession.tempDir("lakeapp")
