@@ -1,0 +1,65 @@
+package graft.bench
+
+import graft.gen.ChangeGen
+import graft.lake.LakeTable
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Quantifies the driver-side commit cost of the log-structured manifest
+  * deltas (SURVEY.md §4.1) in the shape that matters at 100 TB: a DENSE
+  * table (seed backfill populating every bucket) followed by small
+  * incremental CDC batches, each touching a few % of buckets. Runs the same
+  * merge sequence twice — `checkpointEvery = 1` (every commit a full
+  * listing, the pre-delta behavior) vs the default cadence — and reports
+  * manifest JSON bytes per INCREMENTAL commit. The Spark work is identical
+  * on both sides; the difference is what the commit serializes, which is
+  * the cost that scales with table size (live files) vs batch size (touched
+  * buckets).
+  *
+  * Usage: runMain graft.bench.ManifestBench [subBuckets] [partitions] [incBatches]
+  */
+object ManifestBench {
+  def main(args: Array[String]): Unit = {
+    val subBuckets = args.headOption.map(_.toInt).getOrElse(256)
+    val partitions = args.lift(1).map(_.toInt).getOrElse(8)
+    val incBatches = args.lift(2).map(_.toInt).getOrElse(8)
+    val spark = SparkSession.builder()
+      .master("local[8]").appName("graft-manifest-bench")
+      .config("spark.sql.shuffle.partitions", 8)
+      .config("spark.ui.enabled", false)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    try {
+      val buckets = subBuckets * partitions
+      val nKeys = buckets * 8          // dense: ~8 keys per bucket
+      val seedPerPart = nKeys * 3 / partitions // ~3 touches per key seeds all buckets
+      val incPerPart = math.max(1, buckets / 40 / partitions) // ~2.5% of buckets per batch
+      val totalPerPart = seedPerPart + incBatches * incPerPart
+      val changes = ChangeGen.changes(spark, totalPerPart * partitions,
+        nKeys = nKeys, partitions = partitions, deletePct = 5)
+      def run(ckptEvery: Int, tag: String): Unit = {
+        val root = java.nio.file.Files.createTempDirectory(s"mb-$tag").toString
+        val lake = new LakeTable(root, spark, subBuckets = subBuckets,
+          checkpointEvery = ckptEvery)
+        lake.merge(changes.filter(col("offset") < seedPerPart), 0L)
+        (0 until incBatches).foreach { b =>
+          val lo = seedPerPart + b * incPerPart
+          lake.merge(changes.filter(
+            col("offset") >= lo && col("offset") < lo + incPerPart), (b + 1).toLong)
+        }
+        val incSizes = (1 to incBatches).map { v =>
+          java.nio.file.Files.size(
+            java.nio.file.Paths.get(root, f"manifest-$v%012d.json"))
+        }
+        println(f"$tag%-22s incremental-commit JSON: " +
+          f"mean=${incSizes.sum / incBatches / 1024.0}%8.1f KiB  " +
+          f"max=${incSizes.max / 1024.0}%8.1f KiB")
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
+      println(s"subBuckets=$subBuckets partitions=$partitions (=$buckets buckets) " +
+        s"incBatches=$incBatches events/incBatch=${incPerPart * partitions}")
+      run(1, "full-every-commit")
+      run(16, "delta(ckptEvery=16)")
+    } finally spark.stop()
+  }
+}

@@ -30,13 +30,20 @@ object RecordFormats {
   final class TrailingDelimiterFormat(
       valueDelimiter: String = "\n",
       keyDelimiter: Option[String] = None,
-      charset: Charset = java.nio.charset.StandardCharsets.UTF_8) {
+      charset: Charset = java.nio.charset.StandardCharsets.UTF_8)
+    extends Serializable {
+
+    // Charset itself is not Serializable: ship the NAME in the task closure
+    // and resolve it per JVM, so a format value can ride a typed map/flatMap
+    // to executors (its documented use)
+    private val charsetName: String = charset.name()
+    @transient private lazy val cs: Charset = Charset.forName(charsetName)
 
     def encode(key: String, value: String): Array[Byte] = {
       val sb = new StringBuilder
       keyDelimiter.foreach { kd => sb.append(key).append(kd) }
       sb.append(value).append(valueDelimiter)
-      sb.toString.getBytes(charset)
+      sb.toString.getBytes(cs)
     }
 
     /** decode a full buffer of concatenated records. EOF-tolerant like the
@@ -46,7 +53,7 @@ object RecordFormats {
       * well-terminated final record is dropped.
       */
     def decodeAll(bytes: Array[Byte]): Seq[(Option[String], String)] = {
-      val text = new String(bytes, charset)
+      val text = new String(bytes, cs)
       val split = text.split(java.util.regex.Pattern.quote(valueDelimiter), -1).toSeq
       val records = if (split.lastOption.contains("")) split.dropRight(1) else split
       records.map { r =>
@@ -63,7 +70,7 @@ object RecordFormats {
   }
 
   /** Length-prefixed binary format, big-endian int4 lengths. */
-  final class ByteLengthFormat(includeKeys: Boolean) {
+  final class ByteLengthFormat(includeKeys: Boolean) extends Serializable {
 
     def encode(rec: Framed): Array[Byte] = {
       val out = new ByteArrayOutputStream()

@@ -53,8 +53,21 @@ final class ChangeJournal(
     sameApp && batchId <= lastBatchId
   }
 
+  // current-manifest cache keyed by snapshot version (same rationale as
+  // LakeTable: checkpoint manifests are O(history) JSON — parse once per
+  // version, not once per accessor)
+  @volatile private var manifestCache: Option[(Long, JsonNode)] = None
+
   private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
-    Json.parse(io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+    val v = snap.get("version").asLong
+    manifestCache match {
+      case Some((cv, m)) if cv == v => m
+      case _ =>
+        val m = Json.parse(
+          io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+        manifestCache = Some((v, m))
+        m
+    }
   }
 
   /** Per-partition next offset to write — the port of S3Writer.fetchOffset
@@ -270,6 +283,7 @@ final class ChangeJournal(
     snap.put("appId", appId)
     io.swapSnapshot(Json.write(snap))
     filesCache = Some((version, resolved))
+    manifestCache = Some((version, m))
   }
 
   // ---- read / replay (the source) ---------------------------------------

@@ -83,8 +83,23 @@ final class LakeTable(
   private def subExpr(n: Int) =
     pmod(xxhash64(col("repo"), col("path")), lit(n.toLong)).cast("int")
 
+  // current-manifest cache keyed by snapshot version: watermarks / layout /
+  // schemas / fencing each consult the manifest within one batch, and a
+  // checkpoint manifest is O(live files) of JSON — parse it once per version,
+  // not once per accessor (an external writer's commit bumps the version,
+  // invalidating for free).
+  @volatile private var manifestCache: Option[(Long, JsonNode)] = None
+
   private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
-    Json.parse(io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+    val v = snap.get("version").asLong
+    manifestCache match {
+      case Some((cv, m)) if cv == v => m
+      case _ =>
+        val m = Json.parse(
+          io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+        manifestCache = Some((v, m))
+        m
+    }
   }
 
   private def manifestAt(version: Long): Option[JsonNode] = {
@@ -482,6 +497,7 @@ final class LakeTable(
     snap.put("appId", appId)
     io.swapSnapshot(Json.write(snap))
     filesCache = Some((version, resolved))
+    manifestCache = Some((version, m))
   }
 
   /** Garbage-collect history: keep the last `keepLast` snapshots readable,

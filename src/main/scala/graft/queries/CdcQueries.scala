@@ -153,6 +153,37 @@ object CdcQueries {
           md5(col("encoded")).as("encoded_md5"))
     },
 
+    // F2/F6 — text DECODE (DelimitedRecordReader port): concatenate each
+    // chunk's records into one encoded buffer, decode it back with the
+    // EOF-tolerant trailing-delimiter scan, and re-emit rows with
+    // synthesized per-chunk ordinals (offset-synthesis F6,
+    // RecordReader.java:34). The typed flatMap is the byte boundary the
+    // codecs exist for (SURVEY §2.7); buffers are bounded by the chunk
+    // threshold, so no task ever holds more than one chunk.
+    "cdc_text_decode" -> { (s, dir) =>
+      import s.implicits._
+      val fmt = new graft.functions.RecordFormats.TrailingDelimiterFormat(
+        "\n", Some("\t"))
+      val chunked = Chunker.assignChunks(
+        changes(s, dir).select("partition", "offset", "repo", "path", "content"),
+        1000L)
+      chunked
+        .groupBy(col("partition"), col("chunk_id"))
+        .agg(sort_array(collect_list(struct(
+          col("offset"), col("repo"), col("path"), col("content")))).as("recs"))
+        .select(col("partition"), col("chunk_id"), col("recs"))
+        .as[(Int, Long, Seq[(Long, String, String, String)])]
+        .flatMap { case (p, cid, recs) =>
+          val buf = recs.toArray.flatMap { case (_, repo, path, content) =>
+            fmt.encode(s"$repo/$path", Option(content).getOrElse(""))
+          }
+          fmt.decodeAll(buf).zipWithIndex.map { case ((key, value), i) =>
+            (p, cid, i.toLong, key.getOrElse(""), value)
+          }
+        }
+        .toDF("partition", "chunk_id", "ordinal", "rec_key", "rec_value")
+    },
+
     // G2 — running totals per partition (every 100th offset sampled)
     "cdc_running_totals" -> { (s, dir) =>
       val w = Window.partitionBy(col("partition")).orderBy(col("offset"))
@@ -371,6 +402,24 @@ object CdcQueries {
         |       octet_length(encode(repo || '/' || path || chr(9) || coalesce(content, '') || chr(10))) AS n_bytes,
         |       md5(repo || '/' || path || chr(9) || coalesce(content, '') || chr(10)) AS encoded_md5
         |FROM changes""".stripMargin),
+
+    "cdc_text_decode" -> duck(
+      """, sized AS (
+        |  SELECT partition, "offset", repo, path, content,
+        |         coalesce(octet_length(encode(content)), 0) + 1 AS b FROM changes
+        |), cum AS (
+        |  SELECT *, sum(b) OVER (PARTITION BY partition ORDER BY "offset" ROWS UNBOUNDED PRECEDING) - b AS bytes_before
+        |  FROM sized
+        |), ch AS (
+        |  SELECT partition, "offset", repo, path, content,
+        |         CAST(floor(bytes_before / 1000) AS BIGINT) AS chunk_id
+        |  FROM cum
+        |)
+        |SELECT partition, chunk_id,
+        |       CAST(row_number() OVER (PARTITION BY partition, chunk_id ORDER BY "offset") - 1 AS BIGINT) AS ordinal,
+        |       repo || '/' || path AS rec_key,
+        |       coalesce(content, '') AS rec_value
+        |FROM ch""".stripMargin),
 
     "cdc_running_totals" -> duck(
       """, sized AS (
