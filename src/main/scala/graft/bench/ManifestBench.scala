@@ -5,6 +5,8 @@ import graft.lake.LakeTable
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
+import scala.jdk.CollectionConverters._
+
 /** Quantifies the driver-side commit cost of the log-structured manifest
   * deltas (SURVEY.md §4.1) in the shape that matters at 100 TB: a DENSE
   * table (seed backfill populating every bucket) followed by small
@@ -40,16 +42,32 @@ object ManifestBench {
       def run(ckptEvery: Int, tag: String): Unit = {
         val root = java.nio.file.Files.createTempDirectory(s"mb-$tag").toString
         val lake = new LakeTable(root, spark, subBuckets = subBuckets,
-          checkpointEvery = ckptEvery)
+          checkpointEvery = ckptEvery, shardGroupSize = 8)
         lake.merge(changes.filter(col("offset") < seedPerPart), 0L)
         (0 until incBatches).foreach { b =>
           val lo = seedPerPart + b * incPerPart
           lake.merge(changes.filter(
             col("offset") >= lo && col("offset") < lo + incPerPart), (b + 1).toLong)
         }
+        // per-commit driver JSON = root manifest + shard files written AT
+        // that version (reused shards cost nothing; names carry the version)
+        val shardDir = java.nio.file.Paths.get(root, "shards")
+        val shardSizes: Map[Long, Long] =
+          if (!java.nio.file.Files.isDirectory(shardDir)) Map.empty
+          else {
+            val s = java.nio.file.Files.list(shardDir)
+            try s.iterator().asScala.toSeq
+              .filter(_.getFileName.toString.matches("""p\d+-g\d+-v\d+\.json"""))
+              .groupBy { p =>
+                p.getFileName.toString
+                  .replaceAll("""^p\d+-g\d+-v(\d+)\.json$""", "$1").toLong
+              }.map { case (v, ps) => v -> ps.map(java.nio.file.Files.size).sum }
+            finally s.close()
+          }
         val incSizes = (1 to incBatches).map { v =>
           java.nio.file.Files.size(
-            java.nio.file.Paths.get(root, f"manifest-$v%012d.json"))
+            java.nio.file.Paths.get(root, f"manifest-$v%012d.json")) +
+            shardSizes.getOrElse(v.toLong, 0L)
         }
         println(f"$tag%-22s incremental-commit JSON: " +
           f"mean=${incSizes.sum / incBatches / 1024.0}%8.1f KiB  " +

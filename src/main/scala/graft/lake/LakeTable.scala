@@ -48,8 +48,10 @@ final class LakeTable(
     spark: SparkSession,
     val subBuckets: Int = 16,
     val appId: String = "graft",
-    val checkpointEvery: Int = 16) {
+    val checkpointEvery: Int = 16,
+    val shardGroupSize: Int = 64) {
   require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+  require(shardGroupSize >= 1, "shardGroupSize must be >= 1")
 
   private val io = new TableIO(root, spark)
 
@@ -143,16 +145,42 @@ final class LakeTable(
     m.get("touched").elements().asScala
       .map(t => (t.get(0).asInt, t.get(1).asInt)).toSeq
 
+  /** A checkpoint's listing: inline `files` (legacy/simple) or sharded
+    * (SURVEY.md §4.1 step 2, the Iceberg manifest-list shape). Shard key =
+    * (partition, sub-bucket group of `shardGroupSize`): the root manifest
+    * holds only key → shard-path, each shard lists one group's files, and
+    * groups containing no touched bucket REUSE the previous checkpoint's
+    * shard file. The group — not the partition — is the churn unit, because
+    * in the Kafka-CDC shape every batch carries events for every partition
+    * but only a small fraction of buckets; group-grained reuse makes a
+    * checkpoint write O(buckets touched since the last checkpoint), never
+    * O(table).
+    */
+  private def checkpointEntries(m: JsonNode): Seq[FileEntry] =
+    if (m.has("files")) entriesOf(m.get("files"))
+    else m.get("shards").fields().asScala.toSeq.sortBy(_.getKey).flatMap {
+      e => entriesOf(Json.parse(io.readString(new Path(io.rootPath, e.getValue.asText))))
+    }
+
+  /** shard key "p-g" → shard path, from a checkpoint manifest */
+  private def shardMapOf(m: JsonNode): Map[String, String] =
+    if (!m.has("shards")) Map.empty
+    else m.get("shards").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+
+  private def shardKey(partition: Int, sub: Int): String =
+    s"$partition-${sub / shardGroupSize}"
+
   /** Resolve a manifest's live-file set. Checkpoints answer directly; a delta
     * folds forward from the nearest checkpoint at or below it (walk back
-    * until `"files"` appears — chain length is bounded by `checkpointEvery`,
+    * until a non-delta appears — chain length is bounded by `checkpointEvery`,
     * or shorter after a vacuum materialized a checkpoint). The fold keys on
     * (partition, sub): merge/compact maintain exactly one live file per
     * bucket, so `touched` removes the bucket's previous file and `added`
     * supplies its replacement (absent when deletes emptied the bucket).
     */
   private def filesOf(m: JsonNode): Seq[FileEntry] = {
-    if (!isDelta(m)) return entriesOf(m.get("files"))
+    if (!isDelta(m)) return checkpointEntries(m)
     val v = m.get("version").asLong
     var chain = List(m)
     while (isDelta(chain.head)) {
@@ -161,7 +189,7 @@ final class LakeTable(
         s"manifest chain for version $v broken at $pv (vacuumed)")) :: chain
     }
     val state = scala.collection.mutable.LinkedHashMap.empty[(Int, Int), FileEntry]
-    entriesOf(chain.head.get("files")).foreach(f => state((f.partition, f.sub)) = f)
+    checkpointEntries(chain.head).foreach(f => state((f.partition, f.sub)) = f)
     chain.tail.foreach { d =>
       touchedOf(d).foreach(state.remove)
       entriesOf(d.get("added")).foreach(f => state((f.partition, f.sub)) = f)
@@ -433,6 +461,37 @@ final class LakeTable(
     n
   }
 
+  /** Write a sharded checkpoint listing into `node`: one shard file per
+    * (partition, bucket-group), REUSING the previous checkpoint's shard for
+    * keys not in `dirty` (dirty must be a superset of keys whose file set
+    * changed since that checkpoint — reuse of a stale shard would corrupt
+    * the table; writing a redundant shard merely wastes a small PUT).
+    * Shard names carry the version, so a retried commit overwrites the same
+    * keys with the same bytes (the usual idempotence story). Reuse keys on
+    * the (groupSize-dependent) shard key, so a changed `shardGroupSize`
+    * simply misses on every key and rewrites everything once — safe.
+    */
+  private def writeShards(node: com.fasterxml.jackson.databind.node.ObjectNode,
+      version: Long, resolved: Seq[FileEntry],
+      prevShards: Map[String, String], dirty: Set[String]): Unit = {
+    val shardsNode = node.putObject("shards")
+    resolved.groupBy(f => shardKey(f.partition, f.sub)).toSeq.sortBy(_._1)
+      .foreach { case (k, fs) =>
+        val rel = prevShards.get(k) match {
+          case Some(prev) if !dirty.contains(k) => prev
+          case _ =>
+            val p = fs.head.partition
+            val g = fs.head.sub / shardGroupSize
+            val r = f"shards/p$p%05d-g$g%04d-v$version%012d.json"
+            val arr = Json.arr()
+            fs.sortBy(_.sub).foreach(f => arr.add(fileEntryJson(f)): Unit)
+            io.writeString(new Path(io.rootPath, r), Json.write(arr))
+            r
+        }
+        shardsNode.put(k, rel)
+      }
+  }
+
   private def commit(change: CommitChange, wm: Map[Int, Long],
       schemaVersions: IndexedSeq[StructType], batchId: Long,
       lineage: Seq[graft.model.LineageRow], sub: Int): Unit = {
@@ -468,8 +527,22 @@ final class LakeTable(
     val sArr = m.putArray("schemas")
     schemaVersions.foreach(s => sArr.add(s.json))
     if (writeFull) {
-      val fa = m.putArray("files")
-      resolved.foreach(f => fa.add(fileEntryJson(f)))
+      // sharded checkpoint: reuse the previous checkpoint's shards for
+      // bucket groups untouched since it. Dirty = groups touched by any
+      // delta in (prevCkpt, version) plus this commit's own change; a Full
+      // change (compaction) rewrites everything.
+      val prevShards = prevCkpt.flatMap(manifestAt).map(shardMapOf).getOrElse(Map.empty)
+      val dirty: Set[String] = change match {
+        case Full(_) => resolved.map(f => shardKey(f.partition, f.sub)).toSet
+        case Delta(touched, added) =>
+          val chainDirty = prevCkpt.toSeq.flatMap { cv =>
+            ((cv + 1) until version).flatMap(v => manifestAt(v).toSeq
+              .filter(isDelta).flatMap(touchedOf(_).map((shardKey _).tupled)))
+          }
+          (touched.map((shardKey _).tupled) ++
+            added.map(f => shardKey(f.partition, f.sub)) ++ chainDirty).toSet
+      }
+      writeShards(m, version, resolved, prevShards, dirty)
     } else {
       val Delta(touched, added) = change: @unchecked
       val ta = m.putArray("touched")
@@ -533,8 +606,11 @@ final class LakeTable(
         val o = m.asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
         o.remove("touched"); o.remove("added")
         o.put("checkpointVersion", keepFrom)
-        val fa = o.putArray("files")
-        resolved.foreach(f => fa.add(fileEntryJson(f)))
+        // sharded, all partitions written fresh (no reuse bookkeeping at
+        // vacuum cadence); a crash after shards but before the atomic
+        // manifest rename leaves orphan shards for the grace-window pass
+        writeShards(o, keepFrom, resolved, Map.empty,
+          resolved.map(f => shardKey(f.partition, f.sub)).toSet)
         io.writeAtomic(new Path(io.rootPath, f"manifest-$keepFrom%012d.json"),
           Json.write(o))
       }
@@ -576,6 +652,25 @@ final class LakeTable(
     val manifestsDeleted = (horizon until keepFrom).count { v =>
       val p = new Path(io.rootPath, f"manifest-$v%012d.json")
       io.fs.exists(p) && io.fs.delete(p, false)
+    }
+    // shard GC, two-class like data files: shards referenced by GC'd
+    // checkpoints and by no kept manifest are known-superseded (deleted
+    // now — they cannot be another writer's in-flight shards, those are
+    // referenced by nothing yet); unreferenced leftovers (crash between
+    // shard write and manifest rename) reclaim only past the grace window
+    val shardDir = new Path(io.rootPath, "shards")
+    if (io.fs.exists(shardDir)) {
+      val keptShards: Set[String] = (keepFrom to cur)
+        .flatMap(v => manifestAt(v).toSeq.flatMap(shardMapOf(_).values)).toSet
+      val doomedShards = doomed.flatMap(shardMapOf(_).values).toSet -- keptShards
+      doomedShards.foreach(rel => io.fs.delete(new Path(io.rootPath, rel), false): Unit)
+      val cutoff = System.currentTimeMillis() - orphanGraceMs
+      io.fs.listStatus(shardDir).foreach { st =>
+        val rel = s"shards/${st.getPath.getName}"
+        if (!keptShards.contains(rel) && !doomedShards.contains(rel) &&
+            st.getModificationTime < cutoff)
+          io.fs.delete(st.getPath, false): Unit
+      }
     }
     if (keepFrom > horizon) // O(keepLast) future walks, not O(lifetime)
       io.writeAtomic(horizonPath, keepFrom.toString)

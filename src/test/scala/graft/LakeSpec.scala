@@ -98,10 +98,10 @@ class LakeSpec extends AnyFunSuite {
     def manifestJson(v: Int) = Json.parse(new String(
       java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(root, f"manifest-$v%012d.json"))))
-    // cadence: full at 0 and 4, deltas elsewhere
-    assert(!manifestJson(0).has("touched") && manifestJson(0).has("files"))
+    // cadence: full (sharded checkpoint) at 0 and 4, deltas elsewhere
+    assert(!manifestJson(0).has("touched") && manifestJson(0).has("shards"))
     (1 to 3).foreach(v => assert(manifestJson(v).has("touched") &&
-      !manifestJson(v).has("files"), s"v$v must be a delta"))
+      !manifestJson(v).has("shards"), s"v$v must be a delta"))
     assert(!manifestJson(4).has("touched"), "v4 must checkpoint (cadence 4)")
     assert(manifestJson(5).has("touched"))
     // a delta's JSON is O(touched buckets), and added ⊆ touched
@@ -131,7 +131,7 @@ class LakeSpec extends AnyFunSuite {
     val (dataGone, manifestsGone) = lake.vacuum(keepLast = 1)
     assert(manifestsGone === 5)
     assert(dataGone > 0)
-    assert(!manifestJson(5).has("touched") && manifestJson(5).has("files"),
+    assert(!manifestJson(5).has("touched") && manifestJson(5).has("shards"),
       "vacuum must materialize the oldest kept delta as a checkpoint")
     assertMatchesOracle(lake, changes.filter(col("offset") < (n * 100).toLong))
     assert(lake.lineage().count() === lineageBefore)
@@ -139,6 +139,39 @@ class LakeSpec extends AnyFunSuite {
     val after = new LakeTable(root, spark, subBuckets = 4, checkpointEvery = 4)
     after.merge(changes.filter(col("offset") >= (n * 100).toLong), n.toLong)
     assertMatchesOracle(after, changes)
+  }
+
+  test("sharded checkpoints reuse untouched partitions' shards") {
+    import graft.lake.Json
+    import scala.jdk.CollectionConverters._
+    val changes = ChangeGen.changes(spark, 1200, nKeys = 120, partitions = 4,
+      deletePct = 0)
+    val root = SparkTestSession.tempDir("lakeshard")
+    val lake = new LakeTable(root, spark, subBuckets = 4, checkpointEvery = 3)
+    // v0: all partitions; v1, v2: ONLY partition 0; v3: checkpoint (cadence)
+    lake.merge(changes.filter(col("offset") < 100), 0L)
+    lake.merge(changes.filter(col("offset") >= 100 && col("offset") < 150)
+      .filter(col("partition") === 0), 1L)
+    lake.merge(changes.filter(col("offset") >= 150 && col("offset") < 200)
+      .filter(col("partition") === 0), 2L)
+    lake.merge(changes.filter(col("offset") >= 200 && col("offset") < 250)
+      .filter(col("partition") === 0), 3L)
+    def shards(v: Int): Map[String, String] = Json.parse(new String(
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(root, f"manifest-$v%012d.json"))))
+      .get("shards").fields().asScala
+      .map(e => e.getKey -> e.getValue.asText).toMap
+    val s0 = shards(0)
+    val s3 = shards(3)
+    assert(s3("0-0") !== s0("0-0"), "touched partition 0 must get a fresh shard")
+    (1 to 3).foreach { p =>
+      assert(s3(s"$p-0") === s0(s"$p-0"),
+        s"untouched partition $p must reuse the v0 shard")
+    }
+    // resolution through reused shards still equals the oracle
+    val want = changes.filter(col("offset") < 250 &&
+      (col("partition") === 0 || col("offset") < 100))
+    assertMatchesOracle(lake, want)
   }
 
   test("a new writer's restarted batch numbering is not swallowed as replays") {
