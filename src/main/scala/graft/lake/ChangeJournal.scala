@@ -246,12 +246,69 @@ final class ChangeJournal(
     } finally fresh.unpersist()
   }
 
+  /** Retention truncation — the Kafka log-retention / S3 lifecycle analogue
+    * (the reference's archives are bounded the same way: by bucket lifecycle
+    * policy, not by the connector). Drops whole journal files whose every
+    * offset is at or below the per-partition watermark — typically the
+    * lake's committed watermarks after a MERGE, when the events are durable
+    * downstream; without this the journal grows without bound at 10^10
+    * events. Files straddling the watermark are kept whole (readFrom's row
+    * filter handles the overlap). Commits a FULL manifest (the delta chain
+    * encodes append-only growth, so a removal resets it), then deletes the
+    * dropped data files — a crash between the two leaves only unreferenced
+    * orphans, never a manifest referencing missing files. Resume offsets
+    * (`nextOffsets`) are untouched. Returns the number of files dropped.
+    */
+  def truncate(watermarks: Map[Int, Long]): Int = {
+    val (dead, kept) = liveFiles().partition { f =>
+      watermarks.get(f.get("partition").asInt)
+        .exists(w => f.get("max_offset").asLong <= w)
+    }
+    if (dead.isEmpty) return 0
+    commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
+      replaceWith = Some(kept))
+    dead.foreach(f =>
+      io.fs.delete(new Path(io.rootPath, f.get("path").asText), false): Unit)
+    dead.size
+  }
+
+  /** The journal's schema: from the manifest when persisted (every commit
+    * since the schema field landed), else inferred from the newest file per
+    * partition (O(partitions) footers), else the minimal meta trio.
+    */
+  private def journalSchema(all: Seq[JsonNode]): org.apache.spark.sql.types.StructType =
+    manifest()
+      .flatMap(m => Option(m.get("schema")).map(_.asText))
+      .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse {
+        if (all.isEmpty) org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("partition",
+            org.apache.spark.sql.types.IntegerType),
+          org.apache.spark.sql.types.StructField("offset",
+            org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("op",
+            org.apache.spark.sql.types.StringType)))
+        else {
+          val newestPerPartition = all
+            .groupBy(_.get("partition").asInt)
+            .values.map(_.maxBy(_.get("max_offset").asLong).get("path").asText)
+            .toSeq
+          spark.read.option("mergeSchema", "true")
+            .parquet(newestPerPartition.map(r => new Path(io.rootPath, r).toString): _*)
+            .schema
+        }
+      }
+
   /** Commit `added` (the batch's new files) on top of the current listing —
     * written as a delta except at checkpoint cadence or first commit.
+    * `replaceWith` overrides the listing wholesale (truncation) and forces
+    * a full manifest.
     */
   private def commitManifest(
       added: Seq[JsonNode], next: Map[Int, Long], batchId: Long,
-      schema: org.apache.spark.sql.types.StructType): Unit = {
+      schema: org.apache.spark.sql.types.StructType,
+      replaceWith: Option[Seq[JsonNode]] = None): Unit = {
     val prev = io.readSnapshot()
     val version = prev.map(_.get("version").asLong + 1).getOrElse(0L)
     val prevCkpt = prev.map { _ =>
@@ -259,8 +316,9 @@ final class ChangeJournal(
       Option(pm.get("checkpointVersion")).map(_.asLong)
         .getOrElse(pm.get("version").asLong)
     }
-    val resolved = liveFiles() ++ added
-    val writeFull = prev.isEmpty || version - prevCkpt.get >= checkpointEvery
+    val resolved = replaceWith.getOrElse(liveFiles() ++ added)
+    val writeFull = replaceWith.isDefined || prev.isEmpty ||
+      version - prevCkpt.get >= checkpointEvery
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
@@ -314,30 +372,8 @@ final class ChangeJournal(
       // caught-up consumer polling frequently must not pay an O(total
       // journal files) parquet footer scan per call. Footer fallback (newest
       // file per partition only, O(partitions)) covers pre-schema manifests.
-      val schema = manifest()
-        .flatMap(m => Option(m.get("schema")).map(_.asText))
-        .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
-          .asInstanceOf[org.apache.spark.sql.types.StructType])
-        .getOrElse {
-          if (all.isEmpty) org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("partition",
-              org.apache.spark.sql.types.IntegerType),
-            org.apache.spark.sql.types.StructField("offset",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("op",
-              org.apache.spark.sql.types.StringType)))
-          else {
-            val newestPerPartition = all
-              .groupBy(_.get("partition").asInt)
-              .values.map(_.maxBy(_.get("max_offset").asLong).get("path").asText)
-              .toSeq
-            spark.read.option("mergeSchema", "true")
-              .parquet(newestPerPartition.map(r => new Path(io.rootPath, r).toString): _*)
-              .schema
-          }
-        }
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], journalSchema(all))
     }
     val pathsAbs = files.map(f => new Path(io.rootPath, f.get("path").asText).toString)
     // mergeSchema: appends may add payload columns over time (additive only;

@@ -114,6 +114,35 @@ class JournalSpec extends AnyFunSuite {
     assert(src.exceptAll(got).isEmpty && got.exceptAll(src).isEmpty)
   }
 
+  test("retention truncate drops fully-committed files; offsets survive") {
+    val root = SparkTestSession.tempDir("jtrunc")
+    val j = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
+    val changes = ChangeGen.changes(spark, 600, partitions = 2) // 300 offsets/partition
+    j.append(changes.filter(col("offset") < 100), 0L)
+    j.append(changes.filter(col("offset") >= 100 && col("offset") < 200), 1L)
+    j.append(changes.filter(col("offset") >= 200), 2L)
+    def dataFiles = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
+      .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    assert(dataFiles === 6) // 3 appends x 2 partitions
+    // watermark 150: the 0-99 file per partition is wholly below -> dropped;
+    // the 100-199 file straddles -> kept whole
+    assert(j.truncate(Map(0 -> 150L, 1 -> 150L)) === 2)
+    assert(dataFiles === 4)
+    assert(j.read().count() === 400L)
+    assert(j.read().agg(min(col("offset"))).collect()(0).getLong(0) === 100L)
+    // resume offsets untouched by retention
+    assert(j.nextOffsets() === Map(0 -> 300L, 1 -> 300L))
+    // idempotent
+    assert(j.truncate(Map(0 -> 150L, 1 -> 150L)) === 0)
+    // appends continue normally (fence untouched), incl. a COLD instance
+    val cold = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
+    val more = changes.filter(col("offset") < 100)
+      .withColumn("offset", col("offset") + 300L)
+    assert(cold.append(more, 3L) === 200L)
+    assert(cold.read().count() === 600L)
+    assert(cold.nextOffsets() === Map(0 -> 400L, 1 -> 400L))
+  }
+
   test("multi-append: offsets continue, journal holds the full log") {
     val root = SparkTestSession.tempDir("jmulti")
     val j = new ChangeJournal(root, spark, 2048)
