@@ -169,11 +169,13 @@ final class ChangeJournal(
     // per partition), exactly like the reference where every flushed .gz file
     // carries its own chunk list starting at byte 0 (BlockGZIPFileWriter is
     // created anew per PartitionWriter, S3SinkTask.java:173-178).
-    // Persisted: scanned twice (chunk stats collect + data-file write);
-    // try/finally so a failed batch doesn't leak a cached copy per retry.
+    // Scanned twice (chunk stats collect + data-file write) but NOT
+    // persisted: the stats pass computes its window over 4 pruned columns,
+    // while a persist materializes every column into the cache — a full
+    // extra memory-bandwidth pass that measured slower and scaled worse
+    // than the recompute on the scaling bench (same finding as
+    // LakeTable.merge). Recompute is safe: sources are deterministic.
     val fresh = Chunker.assignChunks(fresh0.drop("_next"), chunkBytes)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
 
     // per-file (= per partition per append) and per-chunk stats, one pass
     val chunkStats = fresh.groupBy(col("partition"), col("chunk_id")).agg(
@@ -193,17 +195,18 @@ final class ChangeJournal(
     // `_p` duplicates `partition` for the directory layout only: partitionBy
     // strips its column from file contents, and promoted files must stay
     // self-contained (the manifest, not the path, is the source of truth).
-    // No repartition/sort here: the chunk-assignment window already hash-
-    // partitioned by `partition` and sorted by (partition, offset) — each
-    // partition value lives wholly in one task, so partitionBy still writes
-    // exactly one file per directory. Re-shuffling would double the batch's
-    // shuffle volume for nothing.
-    // the explicit sort satisfies FileFormatWriter's required ordering for
+    // The repartition DECLARES the one-task-per-partition clustering the
+    // one-file-per-directory contract needs. (It cannot be inherited from
+    // the chunk window: this select uses no window column, so Catalyst
+    // rightly prunes the window AND its exchange from this job's plan —
+    // relying on it worked only while a persist froze the window output.)
+    // The explicit sort satisfies FileFormatWriter's required ordering for
     // dynamic partitions (prefix `_p`), so no second, UNSTABLE sort is
     // inserted — and files stay offset-ordered, which is what gives parquet
     // row-group min/max stats their pruning power on resume reads
     fresh
       .select((dataCols.map(col) :+ col("partition").as("_p")).toIndexedSeq: _*)
+      .repartition(col("_p"))
       .sortWithinPartitions(col("_p"), col("offset"))
       .write.mode("overwrite").partitionBy("_p").parquet(staging.toString)
 
@@ -243,7 +246,6 @@ final class ChangeJournal(
     }
     commitManifest(newFiles, newNext, batchId, mergedSchema)
     appended
-    } finally fresh.unpersist()
   }
 
   /** Retention truncation — the Kafka log-retention / S3 lifecycle analogue

@@ -284,11 +284,16 @@ final class LakeTable(
         .filter(col("_wm").isNull || col("offset") > col("_wm"))
         .drop("_wm")
     }
-    // the batch is scanned twice (lineage stats + LWW reduce): cache it.
-    // try/finally: a failed batch is retried by Spark — leaking one cached
-    // copy per attempt would fill executor storage on a long stream
-    val deduped = deduped0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
+    // The batch is scanned twice (lineage stats + LWW reduce) but NOT
+    // persisted: the stats pass prunes to 4 small columns (a fraction of a
+    // columnar scan), while a persist would materialize EVERY column into
+    // the block-manager cache — a full memory-bandwidth pass that is pure
+    // serial overhead when the source is already a cached input or a
+    // columnar file (measured on the scaling bench: the cache build
+    // dominated merge/stats and scaled at <2x from 2 to 8 cores). Sources
+    // are deterministic (file-backed or cached upstream), so recompute is
+    // safe and the second scan reads only what the write needs.
+    val deduped = deduped0
 
     // schema evolution: merge incoming payload schema into the lake schema
     val incomingSchema = StructType(
@@ -436,7 +441,6 @@ final class LakeTable(
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
     statRows.map(_._4).sum
-    } finally deduped.unpersist()
   }
 
   /** How a commit changes the live-file set. `Full` replaces it wholesale
