@@ -71,6 +71,29 @@ object EngineQueries {
             lit(2147483648L))).as("content_sum"))
     },
 
+    // journal retention end-to-end: 3 appends tiling the offset space in
+    // thirds, then truncate at the half-way watermark — whole files at or
+    // below it drop, the straddling file is kept whole. DuckDB recomputes
+    // the identical file-boundary arithmetic from the batch split, so the
+    // surviving row multiset is checked exactly.
+    "eng_journal_truncate" -> { (s, dir) =>
+      val root = workDir("truncate")
+      val changes = CdcQueries.changes(s, dir)
+        .select("partition", "offset", "op", "repo", "path", "content")
+      val j = new graft.lake.ChangeJournal(s"$root/journal", s, 8192)
+      val maxOff = changes.agg(max(col("offset"))).collect()(0).getLong(0)
+      val (c1, c2, wm) = (maxOff / 3, 2 * maxOff / 3, maxOff / 2)
+      j.append(changes.filter(col("offset") < c1), 0L)
+      j.append(changes.filter(col("offset") >= c1 && col("offset") < c2), 1L)
+      j.append(changes.filter(col("offset") >= c2), 2L)
+      j.truncate((0 to 3).map(_ -> wm).toMap)
+      j.read().groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          sum(pmod(graft.functions.Portable.md5Long(coalesce(col("content"), lit("∅"))),
+            lit(2147483648L))).as("content_sum"))
+    },
+
     // mid-stream resume: committed offsets inside the journal ⇒ replay
     // returns exactly the suffix (port of S3FilesReaderTest offset resume)
     "eng_journal_resume" -> { (s, dir) =>
@@ -347,6 +370,24 @@ object EngineQueries {
         |SELECT partition, count(*) AS n, min("offset") AS min_offset, max("offset") AS max_offset,
         |       CAST(sum(('0x' || substr(md5(coalesce(content, '∅')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS content_sum
         |FROM changes GROUP BY 1""".stripMargin),
+
+    "eng_journal_truncate" -> (CdcQueries.duckChanges +
+      """, mo AS (SELECT max("offset") AS m FROM changes),
+        |b AS (
+        |  SELECT c.*, CASE WHEN c."offset" < mo.m // 3 THEN 0
+        |                   WHEN c."offset" < 2 * mo.m // 3 THEN 1
+        |                   ELSE 2 END AS batch
+        |  FROM changes c, mo
+        |),
+        |keptb AS (
+        |  SELECT partition, batch FROM b, mo GROUP BY partition, batch, mo.m
+        |  HAVING max(b."offset") > mo.m // 2
+        |)
+        |SELECT b.partition, count(*) AS n,
+        |       min(b."offset") AS min_offset, max(b."offset") AS max_offset,
+        |       CAST(sum(('0x' || substr(md5(coalesce(b.content, '∅')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS content_sum
+        |FROM b JOIN keptb ON b.partition = keptb.partition AND b.batch = keptb.batch
+        |GROUP BY 1""".stripMargin),
 
     "eng_journal_resume" -> (CdcQueries.duckChanges +
       """, committed(partition, committed) AS (VALUES (0, 100), (1, 150), (2, 200), (3, 250))
