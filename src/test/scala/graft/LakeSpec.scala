@@ -174,6 +174,50 @@ class LakeSpec extends AnyFunSuite {
     assertMatchesOracle(lake, want)
   }
 
+  test("delta cadence is unobservable: delta lake ≡ full-manifest lake") {
+    // model-based check of the whole §4.1 machinery: the SAME operation
+    // sequence (merges, a re-bucketing compact, a vacuum) applied to a lake
+    // committing deltas (cadence 3, tiny shard groups) and to one
+    // committing a full checkpoint every time must yield identical state,
+    // watermarks, and lineage at every step — the manifest representation
+    // must never be observable through the API.
+    val changes = ChangeGen.changes(spark, 2400, nKeys = 160, partitions = 4,
+      deletePct = 15)
+    val a = new LakeTable(SparkTestSession.tempDir("lakeEqA"), spark,
+      subBuckets = 4, checkpointEvery = 3, shardGroupSize = 2)
+    val b = new LakeTable(SparkTestSession.tempDir("lakeEqB"), spark,
+      subBuckets = 4, checkpointEvery = 1)
+    def assertSame(): Unit = {
+      val sa = a.read().select(col("repo"), col("path"), col("offset"),
+        sha2(col("content"), 256))
+      val sb = b.read().select(col("repo"), col("path"), col("offset"),
+        sha2(col("content"), 256))
+      assert(sa.exceptAll(sb).isEmpty && sb.exceptAll(sa).isEmpty,
+        "state diverged between delta and full-manifest lakes")
+      assert(a.watermarks() === b.watermarks())
+      assert(a.lineage().count() === b.lineage().count())
+    }
+    (0 until 5).foreach { i =>
+      val batch = changes.filter(
+        col("offset") >= i * 120 && col("offset") < (i + 1) * 120)
+      a.merge(batch, i.toLong); b.merge(batch, i.toLong)
+      assertSame()
+    }
+    a.compact(8); b.compact(8)
+    assertSame()
+    val batch5 = changes.filter(col("offset") >= 600 && col("offset") < 720)
+    a.merge(batch5, 5L); b.merge(batch5, 5L)
+    assertSame()
+    a.vacuum(keepLast = 2); b.vacuum(keepLast = 2)
+    assertSame()
+    // time travel to the post-compact version agrees too
+    val va = a.readVersion(a.currentVersion - 1)
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+    val vb = b.readVersion(b.currentVersion - 1)
+      .select(col("repo"), col("path"), sha2(col("content"), 256))
+    assert(va.exceptAll(vb).isEmpty && vb.exceptAll(va).isEmpty)
+  }
+
   test("a new writer's restarted batch numbering is not swallowed as replays") {
     val changes = ChangeGen.changes(spark, 1000, nKeys = 100, partitions = 4)
     val root = SparkTestSession.tempDir("lakeapp")
