@@ -158,8 +158,27 @@ final class LakeTable(
     */
   private def checkpointEntries(m: JsonNode): Seq[FileEntry] =
     if (m.has("files")) entriesOf(m.get("files"))
-    else m.get("shards").fields().asScala.toSeq.sortBy(_.getKey).flatMap {
-      e => entriesOf(Json.parse(io.readString(new Path(io.rootPath, e.getValue.asText))))
+    else {
+      // cold resolution reads one JSON per shard — on an object store that
+      // is thousands of small GETs at scale, so fetch on a bounded pool
+      // (order restored by the sorted key sequence, so the result is
+      // deterministic)
+      val keys = m.get("shards").fields().asScala.toSeq.sortBy(_.getKey)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = keys.map { e =>
+          pool.submit(new java.util.concurrent.Callable[Seq[FileEntry]] {
+            def call(): Seq[FileEntry] = entriesOf(Json.parse(
+              io.readString(new Path(io.rootPath, e.getValue.asText))))
+          })
+        }
+        futs.flatMap { f =>
+          try f.get()
+          catch {
+            case e: java.util.concurrent.ExecutionException => throw e.getCause
+          }
+        }
+      } finally pool.shutdown()
     }
 
   /** shard key "p-g" → shard path, from a checkpoint manifest */
