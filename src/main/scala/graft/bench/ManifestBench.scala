@@ -7,16 +7,18 @@ import org.apache.spark.sql.functions._
 
 import scala.jdk.CollectionConverters._
 
-/** Quantifies the driver-side commit cost of the log-structured manifest
-  * deltas (SURVEY.md §4.1) in the shape that matters at 100 TB: a DENSE
-  * table (seed backfill populating every bucket) followed by small
-  * incremental CDC batches, each touching a few % of buckets. Runs the same
-  * merge sequence twice — `checkpointEvery = 1` (every commit a full
-  * listing, the pre-delta behavior) vs the default cadence — and reports
-  * manifest JSON bytes per INCREMENTAL commit. The Spark work is identical
-  * on both sides; the difference is what the commit serializes, which is
-  * the cost that scales with table size (live files) vs batch size (touched
-  * buckets).
+/** Quantifies the driver-side commit cost of the manifest machinery
+  * (SURVEY.md §4.1) in the shape that matters at 100 TB: a DENSE table
+  * (seed backfill populating every bucket) followed by small incremental
+  * CDC batches, each touching a few % of buckets. Runs the same merge
+  * sequence twice — `checkpointEvery = 1` (a sharded checkpoint at EVERY
+  * commit: group-grained shard reuse, the worst case for the current code)
+  * vs the default delta cadence — and reports manifest+shard JSON bytes
+  * per INCREMENTAL commit. NOTE: neither side is the r01 pre-delta inline
+  * listing (that code path no longer exists); the 295 KiB/commit figure in
+  * BENCH/BASELINE.md was measured against it before shards landed, and is
+  * kept there as the historical baseline. The Spark work is identical on
+  * both sides; the difference is what the commit serializes.
   *
   * Usage: runMain graft.bench.ManifestBench [subBuckets] [partitions] [incBatches]
   */
@@ -76,7 +78,7 @@ object ManifestBench {
       }
       println(s"subBuckets=$subBuckets partitions=$partitions (=$buckets buckets) " +
         s"incBatches=$incBatches events/incBatch=${incPerPart * partitions}")
-      run(1, "full-every-commit")
+      run(1, "ckpt-every(sharded)")
       run(16, "delta(ckptEvery=16)")
     } finally spark.stop()
   }

@@ -218,6 +218,18 @@ final class ChangeJournal(
       val firstOffset = sorted.map(_.getLong(2)).min
       val rel = f"data/part-$p%05d-$firstOffset%012d.parquet"
       io.promoteSingleFile(new Path(staging, s"_p=$p"), new Path(io.rootPath, rel))
+      // The write evaluated the batch a second time (no persist): the
+      // parquet footer must agree with the stats pass's row count, else the
+      // source violated the determinism precondition and the manifest's
+      // chunk descriptors would silently disagree with the file. Footer
+      // read is one metadata fetch — cheap insurance that turns silent
+      // corruption into a loud failure.
+      val statRows = chunks.map(_.getLong(3)).sum
+      val footerRows = io.parquetRowCount(new Path(io.rootPath, rel))
+      require(footerRows == statRows,
+        s"journal append stats/write divergence on partition $p: stats saw " +
+          s"$statRows rows, write produced $footerRows — batch source must " +
+          "be deterministic across scans")
       val fileNode = Json.obj()
       fileNode.put("partition", p)
       fileNode.put("path", rel)

@@ -198,14 +198,31 @@ final class LakeTable(
     * bucket, so `touched` removes the bucket's previous file and `added`
     * supplies its replacement (absent when deletes emptied the bucket).
     */
-  private def filesOf(m: JsonNode): Seq[FileEntry] = {
+  private def filesOf(m: JsonNode): Seq[FileEntry] = resolveChain(m, retried = false)
+
+  private def resolveChain(m: JsonNode, retried: Boolean): Seq[FileEntry] = {
     if (!isDelta(m)) return checkpointEntries(m)
     val v = m.get("version").asLong
     var chain = List(m)
     while (isDelta(chain.head)) {
       val pv = chain.head.get("version").asLong - 1
-      chain = manifestAt(pv).getOrElse(throw new IllegalArgumentException(
-        s"manifest chain for version $v broken at $pv (vacuumed)")) :: chain
+      manifestAt(pv) match {
+        case Some(n) => chain = n :: chain
+        case None if !retried =>
+          // Self-heal against a concurrent vacuum: it materializes the
+          // oldest kept version IN PLACE before deleting the chain below
+          // it, so a reader holding pre-materialization nodes restarts the
+          // walk ONCE from a fresh read of its version — if v is retained,
+          // the new walk terminates at the materialized checkpoint before
+          // ever reaching the deleted range. One retry suffices:
+          // materialization is monotone.
+          val refreshed = manifestAt(v).getOrElse(
+            throw new IllegalArgumentException(
+              s"manifest chain for version $v broken at $pv (vacuumed)"))
+          return resolveChain(refreshed, retried = true)
+        case None => throw new IllegalArgumentException(
+          s"manifest chain for version $v broken at $pv (vacuumed)")
+      }
     }
     val state = scala.collection.mutable.LinkedHashMap.empty[(Int, Int), FileEntry]
     checkpointEntries(chain.head).foreach(f => state((f.partition, f.sub)) = f)
@@ -412,6 +429,25 @@ final class LakeTable(
       .parquet(staging.toString)
     mark("write")
 
+    // The write evaluated the batch a second time (no persist): it must
+    // not have produced any bucket outside the stats pass's touched set —
+    // divergence means a nondeterministic source, which would silently
+    // desynchronize watermarks/lineage from the written data. (The
+    // converse — a touched bucket with no staged dir — is legal: deletes
+    // can empty a bucket.) One driver-side listing; loud failure beats
+    // silent corruption.
+    val staged = for {
+      pDir <- io.fs.listStatus(staging).toSeq
+      if pDir.getPath.getName.startsWith("_pp=")
+      sDir <- io.fs.listStatus(pDir.getPath).toSeq
+      if sDir.getPath.getName.startsWith("_ss=")
+    } yield (pDir.getPath.getName.stripPrefix("_pp=").toInt,
+      sDir.getPath.getName.stripPrefix("_ss=").toInt)
+    val rogue = staged.filterNot(touched.contains)
+    require(rogue.isEmpty,
+      s"merge write produced buckets outside the stats scan's touched set " +
+        s"(${rogue.take(5)}…): batch source must be deterministic across scans")
+
     // promote each touched bucket to its deterministic name; per-file row
     // counts come from the parquet footer (no extra Spark job — the write is
     // the last job of the batch). Promotes run on a bounded pool because on
@@ -552,13 +588,26 @@ final class LakeTable(
     if (writeFull) {
       // sharded checkpoint: reuse the previous checkpoint's shards for
       // bucket groups untouched since it. Dirty = groups touched by any
-      // delta in (prevCkpt, version) plus this commit's own change; a Full
-      // change (compaction) rewrites everything.
-      val prevShards = prevCkpt.flatMap(manifestAt).map(shardMapOf).getOrElse(Map.empty)
+      // delta in (ckpt, version) plus this commit's own change; a Full
+      // change (compaction) rewrites everything. The recorded
+      // checkpointVersion is advisory (a vacuum may have GC'd it and
+      // materialized a newer one without rewriting successors' fields), so
+      // fall back to walking back to the nearest SURVIVING checkpoint —
+      // without the fallback every shard would be rewritten after each
+      // such vacuum.
+      val prevCkptManifest: Option[JsonNode] =
+        prevCkpt.flatMap(manifestAt).filter(n => !isDelta(n)).orElse {
+          Iterator.iterate(version - 1)(_ - 1).takeWhile(_ >= 0)
+            .map(manifestAt)
+            .takeWhile(_.isDefined).flatten
+            .find(n => !isDelta(n))
+        }
+      val prevShards = prevCkptManifest.map(shardMapOf).getOrElse(Map.empty)
       val dirty: Set[String] = change match {
         case Full(_) => resolved.map(f => shardKey(f.partition, f.sub)).toSet
         case Delta(touched, added) =>
-          val chainDirty = prevCkpt.toSeq.flatMap { cv =>
+          val chainDirty = prevCkptManifest.toSeq.flatMap { pc =>
+            val cv = pc.get("version").asLong
             ((cv + 1) until version).flatMap(v => manifestAt(v).toSeq
               .filter(isDelta).flatMap(touchedOf(_).map((shardKey _).tupled)))
           }
@@ -636,12 +685,23 @@ final class LakeTable(
           resolved.map(f => shardKey(f.partition, f.sub)).toSet)
         io.writeAtomic(new Path(io.rootPath, f"manifest-$keepFrom%012d.json"),
           Json.write(o))
+        // the rewrite may concern the CURRENT version (keepLast=1): drop
+        // the parsed-manifest cache so later reads see the checkpoint, not
+        // the stale delta node
+        manifestCache = None
       }
     }
-    val live: Set[String] = (keepFrom to cur)
-      .flatMap(v => manifestAt(v).toSeq.flatMap(filesOf(_).map(_.path))).toSet
+    // one forward fold over [horizon, cur] — one manifest read per version
+    // and one shard read per referenced shard, instead of re-walking each
+    // version's chain independently (O(range × chain) small GETs on an
+    // object store)
+    val resolvedByVersion = resolveRange(horizon, cur)
+    def pathsOf(v: Long): Seq[String] =
+      resolvedByVersion.get(v).toSeq.flatten.map(_.path)
+    val live: Set[String] = (keepFrom to cur).flatMap(pathsOf).toSet
     val doomed = (horizon until keepFrom).flatMap(manifestAt)
-    val superseded: Set[String] = doomed.flatMap(filesOf(_).map(_.path)).toSet -- live
+    val superseded: Set[String] =
+      (horizon until keepFrom).flatMap(pathsOf).toSet -- live
     var dataDeleted = superseded.count(rel => io.fs.delete(new Path(io.rootPath, rel), false))
     val dataDir = new Path(io.rootPath, "data")
     if (io.fs.exists(dataDir)) {
@@ -676,28 +736,61 @@ final class LakeTable(
       val p = new Path(io.rootPath, f"manifest-$v%012d.json")
       io.fs.exists(p) && io.fs.delete(p, false)
     }
-    // shard GC, two-class like data files: shards referenced by GC'd
-    // checkpoints and by no kept manifest are known-superseded (deleted
-    // now — they cannot be another writer's in-flight shards, those are
-    // referenced by nothing yet); unreferenced leftovers (crash between
-    // shard write and manifest rename) reclaim only past the grace window
+    // Shard GC. Unlike data files, shards get NO immediate known-superseded
+    // class: a concurrent writer's in-progress checkpoint commit may be
+    // about to REFERENCE a doomed checkpoint's shard via shard reuse (it
+    // read that checkpoint's shard map before our manifest deletion), so
+    // "referenced by no kept manifest" does not prove "safe to delete now".
+    // Every non-kept shard — superseded or crash leftover — reclaims only
+    // past the mtime grace window, which by then covers any commit that
+    // could have planned a reuse. Shards are small; delayed reclamation is
+    // the cheap price of staying safe next to a live writer.
     val shardDir = new Path(io.rootPath, "shards")
     if (io.fs.exists(shardDir)) {
       val keptShards: Set[String] = (keepFrom to cur)
         .flatMap(v => manifestAt(v).toSeq.flatMap(shardMapOf(_).values)).toSet
-      val doomedShards = doomed.flatMap(shardMapOf(_).values).toSet -- keptShards
-      doomedShards.foreach(rel => io.fs.delete(new Path(io.rootPath, rel), false): Unit)
       val cutoff = System.currentTimeMillis() - orphanGraceMs
       io.fs.listStatus(shardDir).foreach { st =>
         val rel = s"shards/${st.getPath.getName}"
-        if (!keptShards.contains(rel) && !doomedShards.contains(rel) &&
-            st.getModificationTime < cutoff)
+        if (!keptShards.contains(rel) && st.getModificationTime < cutoff)
           io.fs.delete(st.getPath, false): Unit
       }
     }
     if (keepFrom > horizon) // O(keepLast) future walks, not O(lifetime)
       io.writeAtomic(horizonPath, keepFrom.toString)
     (dataDeleted, manifestsDeleted)
+  }
+
+  /** Resolve the live-file set of every existing version in [from, to] with
+    * ONE manifest read per version: fold each delta onto the running state;
+    * a checkpoint (or a gap) resets the fold. Only vacuum needs a whole
+    * range — everything else resolves single versions via [[filesOf]].
+    */
+  private def resolveRange(from: Long, to: Long): Map[Long, Seq[FileEntry]] = {
+    val out = scala.collection.mutable.Map.empty[Long, Seq[FileEntry]]
+    var state: Option[scala.collection.mutable.LinkedHashMap[(Int, Int), FileEntry]] = None
+    var v = from
+    while (v <= to) {
+      manifestAt(v) match {
+        case None => state = None
+        case Some(m) =>
+          val st = (if (isDelta(m)) state else None) match {
+            case Some(prev) =>
+              touchedOf(m).foreach(prev.remove)
+              entriesOf(m.get("added")).foreach(f => prev((f.partition, f.sub)) = f)
+              prev
+            case None =>
+              val fresh =
+                scala.collection.mutable.LinkedHashMap.empty[(Int, Int), FileEntry]
+              filesOf(m).foreach(f => fresh((f.partition, f.sub)) = f)
+              fresh
+          }
+          out(v) = st.values.toSeq.sortBy(f => (f.partition, f.sub))
+          state = Some(st)
+      }
+      v += 1
+    }
+    out.toMap
   }
 
   private def archivePath = new Path(io.rootPath, "lineage-archive.json")

@@ -175,7 +175,15 @@ object CdcQueries {
         .as[(Int, Long, Seq[(Long, String, String, String)])]
         .flatMap { case (p, cid, recs) =>
           val buf = recs.toArray.flatMap { case (_, repo, path, content) =>
-            fmt.encode(s"$repo/$path", Option(content).getOrElse(""))
+            val key = s"$repo/$path"
+            val value = Option(content).getOrElse("")
+            // the trailing-delimiter format (like the reference's) does not
+            // escape; a delimiter inside a field would silently shift every
+            // later record — fail loudly instead of corrupting the gate
+            require(!key.contains('\t') && !key.contains('\n') &&
+              !value.contains('\n'),
+              s"record contains an unescapable delimiter: key=$key")
+            fmt.encode(key, value)
           }
           fmt.decodeAll(buf).zipWithIndex.map { case ((key, value), i) =>
             (p, cid, i.toLong, key.getOrElse(""), value)
