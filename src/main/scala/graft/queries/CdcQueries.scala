@@ -45,6 +45,29 @@ object CdcQueries {
       |  FROM events
       |)""".stripMargin
 
+  /** stable staging tag suffix for a testdata dir */
+  private def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
+
+  /** the text-framed archive lines shared by the gz-archive gates */
+  private def archiveLines(s: SparkSession, dir: String): DataFrame =
+    changes(s, dir).select(col("partition"), col("offset"),
+      concat(col("repo"), lit("/"), col("path"), lit("\t"),
+        coalesce(col("content"), lit(""))).as("line"))
+
+  /** Build-once-per-JVM shared block-gzip archive over the change log
+    * (marker-gated: a crashed build is rebuilt, a complete one is reused).
+    * Public so Bench can time the build separately from the reads.
+    */
+  def sharedArchive(s: SparkSession, dir: String): String = {
+    val (root, ready) = Staging.cached(s, "gzarch-" + dirTag(dir))
+    if (!ready) {
+      graft.sources.GzArchive.writeArchive(archiveLines(s, dir), root,
+        "changes", "offset", chunkThreshold = 4096, recordsPerFile = 5000)
+      Staging.markReady(s, root)
+    }
+    root
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // K1/G2 — deterministic block chunk assignment (BlockGZIPFileWriter port)
@@ -240,7 +263,7 @@ object CdcQueries {
       // partitioned jsonl staging (one file per task, read back as a
       // directory) — the operator pattern, not a coalesce(1) driver funnel;
       // pid-scoped dir is reclaimed on the next invocation
-      val stage = Staging.dir("jsonl") + "/events.jsonl"
+      val stage = Staging.dir(s, "jsonl") + "/events.jsonl"
       c.select(to_json(struct(c.columns.map(col).toIndexedSeq: _*)).as("value"))
         .write.mode("overwrite").text(stage)
       val parsed = s.read.schema(c.schema).json(stage)
@@ -259,15 +282,12 @@ object CdcQueries {
     // index JSON, written chunk-rolled per partition, then read back
     // CHUNK-PARALLEL (each task decompresses one member's byte range).
     // Checksums of the decoded lines are cross-checked against DuckDB over
-    // the same synthesized records.
+    // the same synthesized records. The archive builds ONCE per JVM
+    // (marker-gated shared staging), so a timed run of this query measures
+    // the chunk-parallel READ; the build cost is reported separately
+    // (Bench's cdc_gz_archive_write).
     "cdc_gz_archive_read" -> { (s, dir) =>
-      val root = Staging.dir("gzarch-read")
-      val c = changes(s, dir).select(col("partition"), col("offset"),
-        concat(col("repo"), lit("/"), col("path"), lit("\t"),
-          coalesce(col("content"), lit(""))).as("line"))
-      graft.sources.GzArchive.writeArchive(c, root, "changes", "offset",
-        chunkThreshold = 4096, recordsPerFile = 5000)
-      graft.sources.GzArchive.read(s, root)
+      graft.sources.GzArchive.read(s, sharedArchive(s, dir))
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n"),
           min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
@@ -279,17 +299,49 @@ object CdcQueries {
     // the boundary member filters after decode — the ranged-GET resume of
     // S3FilesReader.java:215-261 as a distributed read
     "cdc_gz_archive_resume" -> { (s, dir) =>
-      val root = Staging.dir("gzarch-resume")
-      val c = changes(s, dir).select(col("partition"), col("offset"),
-        concat(col("repo"), lit("/"), col("path"), lit("\t"),
-          coalesce(col("content"), lit(""))).as("line"))
-      graft.sources.GzArchive.writeArchive(c, root, "changes", "offset",
-        chunkThreshold = 4096, recordsPerFile = 5000)
       val committed = Map(0 -> 100L, 1 -> 150L, 2 -> 200L, 3 -> 250L)
-      graft.sources.GzArchive.readFrom(s, root, committed)
+      graft.sources.GzArchive.readFrom(s, sharedArchive(s, dir), committed)
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n"), min(col("offset")).as("first_replayed"),
           sum(pmod(Portable.md5Long(col("value")), lit(2147483648L))).as("line_sum"))
+    },
+
+    // S2/S6/K4 connector-bucket interop end to end: a DATE-PREFIXED archive
+    // (the real bucket layout, S3Writer.java:129-136; prefix passed
+    // deterministically, never wall clock) with per-partition CURSOR files
+    // (last_chunk_index.{topic}-{p:05d}.txt, S3Writer.java:138-153), plus
+    // one deliberately ORPHANED file beyond partition 0's cursor — a
+    // crashed writer's upload that never got acknowledged. The cursor-
+    // trusted read must return exactly the acknowledged records (orphan
+    // excluded, "readers only trust the cursor"), and the cursor-derived
+    // next WRITE offset (S3Writer.fetchOffset, :83-127) must equal the
+    // acknowledged per-partition count.
+    "cdc_gz_archive_cursor" -> { (s, dir) =>
+      val (root, ready) = Staging.cached(s, "gzarch-cursor-" + dirTag(dir))
+      if (!ready) {
+        graft.sources.GzArchive.writeArchive(archiveLines(s, dir), root,
+          "changes", "offset", chunkThreshold = 4096, recordsPerFile = 5000,
+          datePrefix = "2024-06-01")
+        // the orphan: data+index land under a later date prefix, cursor
+        // never moves (crash between upload and cursor write)
+        val fs = new org.apache.hadoop.fs.Path(root)
+          .getFileSystem(s.sparkContext.hadoopConfiguration)
+        val w = new graft.sources.GzArchive.BlockGzWriter(fs,
+          new org.apache.hadoop.fs.Path(root, "2024-06-02"), "changes-00000",
+          firstRecordOffset = 900000L, chunkThreshold = 4096)
+        (0 until 7).foreach(i => w.write(s"orphan $i\n".getBytes("UTF-8")))
+        w.close()
+        Staging.markReady(s, root)
+      }
+      val agg = graft.sources.GzArchive.readCommitted(s, root, "changes")
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          sum(pmod(Portable.md5Long(col("value")), lit(2147483648L))).as("line_sum"))
+      val next = s.createDataFrame(
+        graft.sources.GzArchive.fetchOffsets(s, root, "changes").toSeq)
+        .toDF("partition", "next_offset")
+      agg.join(broadcast(next), Seq("partition"))
     },
 
     // F3/F4 — length-prefixed binary framing roundtrip: big-endian int4
@@ -469,6 +521,18 @@ object CdcQueries {
         |       CAST(0 AS BIGINT) AS min_offset,
         |       count(*) - 1 AS max_offset,
         |       CAST(sum(('0x' || substr(md5(repo || '/' || path || chr(9) || coalesce(content, '')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS line_sum
+        |FROM changes GROUP BY 1""".stripMargin),
+
+    // cursor gate: the orphan is invisible (only cursor-acknowledged files
+    // count), so the oracle is the full per-partition roll-up; the cursor's
+    // next-offset arithmetic (last chunk first+num) equals the count because
+    // archive offsets are dense from 0
+    "cdc_gz_archive_cursor" -> duck(
+      """SELECT partition, count(*) AS n,
+        |       CAST(0 AS BIGINT) AS min_offset,
+        |       count(*) - 1 AS max_offset,
+        |       CAST(sum(('0x' || substr(md5(repo || '/' || path || chr(9) || coalesce(content, '')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS line_sum,
+        |       count(*) AS next_offset
         |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_gz_archive_resume" -> duck(

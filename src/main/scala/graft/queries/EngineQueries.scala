@@ -13,7 +13,8 @@ import org.apache.spark.sql.functions._
   */
 object EngineQueries {
 
-  private def workDir(tag: String): String = Staging.dir(s"e2e-$tag")
+  private def workDir(s: SparkSession, tag: String): String =
+    Staging.dir(s, s"e2e-$tag")
 
   /** shape the final lake state for comparison */
   private def finalState(lake: graft.lake.LakeTable): DataFrame =
@@ -28,7 +29,7 @@ object EngineQueries {
 
     // full pipeline, 8 micro-batches, clean run
     "eng_cdc_merge" -> { (s, dir) =>
-      val root = workDir("merge")
+      val root = workDir(s, "merge")
       val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
         chunkBytes = 8192, subBuckets = 8)
       p.runBatches(CdcQueries.changes(s, dir)
@@ -39,7 +40,7 @@ object EngineQueries {
     // same, but killed after batch 3 and restarted from scratch (fenced
     // replay of batches 0-3, live batches 4-7): exactly-once through the gate
     "eng_cdc_restart" -> { (s, dir) =>
-      val root = workDir("restart")
+      val root = workDir(s, "restart")
       val changes = CdcQueries.changes(s, dir)
         .select("partition", "offset", "op", "repo", "path", "content")
       val p1 = new CdcPipeline(s, s"$root/journal", s"$root/lake",
@@ -54,7 +55,7 @@ object EngineQueries {
     // journal write → resume-read round trip: per-partition content checksum
     // (order-insensitive exact sum of md5-derived ints) after a 4-batch append
     "eng_journal_roundtrip" -> { (s, dir) =>
-      val root = workDir("journal")
+      val root = workDir(s, "journal")
       val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
         chunkBytes = 8192, subBuckets = 8, journalEnabled = true)
       val changes = CdcQueries.changes(s, dir)
@@ -77,7 +78,7 @@ object EngineQueries {
     // the identical file-boundary arithmetic from the batch split, so the
     // surviving row multiset is checked exactly.
     "eng_journal_truncate" -> { (s, dir) =>
-      val root = workDir("truncate")
+      val root = workDir(s, "truncate")
       val changes = CdcQueries.changes(s, dir)
         .select("partition", "offset", "op", "repo", "path", "content")
       val j = new graft.lake.ChangeJournal(s"$root/journal", s, 8192)
@@ -97,7 +98,7 @@ object EngineQueries {
     // mid-stream resume: committed offsets inside the journal ⇒ replay
     // returns exactly the suffix (port of S3FilesReaderTest offset resume)
     "eng_journal_resume" -> { (s, dir) =>
-      val root = workDir("resume")
+      val root = workDir(s, "resume")
       val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
         chunkBytes = 8192, subBuckets = 8)
       val changes = CdcQueries.changes(s, dir)
@@ -115,7 +116,7 @@ object EngineQueries {
     // schema (null lang, widened score) with no file rewrites on evolution —
     // the north rule's "Catalyst-driven schema evolution" end to end.
     "eng_schema_evolution" -> { (s, dir) =>
-      val root = workDir("schevo")
+      val root = workDir(s, "schevo")
       val c = CdcQueries.changes(s, dir)
       val b = c.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
         .collect()(0)
@@ -138,7 +139,7 @@ object EngineQueries {
     // slice files, tailed by the file source (AvailableNow), ingested via
     // checkpointed foreachBatch — final lake state vs the DuckDB LWW oracle
     "eng_streaming_ingest" -> { (s, dir) =>
-      val root = workDir("streaming")
+      val root = workDir(s, "streaming")
       val changes = CdcQueries.changes(s, dir)
         .select("partition", "offset", "op", "repo", "path", "content")
       val b = changes.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
@@ -180,7 +181,7 @@ object EngineQueries {
     // the final state must still equal the LWW oracle over the same
     // (expansion-filtered) log.
     "eng_partition_expand" -> { (s, dir) =>
-      val root = workDir("partexpand")
+      val root = workDir(s, "partexpand")
       val c = CdcQueries.changes(s, dir)
       val b = c.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
         .collect()(0)
@@ -201,7 +202,7 @@ object EngineQueries {
     // become archive offsets (per-partition consecutive, like Kafka's);
     // order within a partition is preserved, so LWW winners are identical.
     "eng_archive_backfill" -> { (s, dir) =>
-      val root = workDir("backfill")
+      val root = workDir(s, "backfill")
       val c = CdcQueries.changes(s, dir)
       // text framing: op \t repo \t path \t content, null content as ∅
       val lines = c.select(col("partition"), col("offset"),
@@ -228,7 +229,7 @@ object EngineQueries {
     // as data: the lineage rows the lake accumulates across batches must
     // roll up to exactly the per-partition stats of the raw change log
     "eng_lineage_metrics" -> { (s, dir) =>
-      val root = workDir("lineage")
+      val root = workDir(s, "lineage")
       val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
         chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
       p.runBatches(CdcQueries.changes(s, dir)
@@ -247,7 +248,7 @@ object EngineQueries {
     // table (compact 8 -> 16), GC history (vacuum to the current snapshot) —
     // the final state must still equal the LWW oracle bit for bit
     "eng_compact_vacuum" -> { (s, dir) =>
-      val root = workDir("compactvac")
+      val root = workDir(s, "compactvac")
       val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
         chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
       p.runBatches(CdcQueries.changes(s, dir)
@@ -260,7 +261,7 @@ object EngineQueries {
     // snapshot time travel: two batches committed, then read AS OF the first
     // snapshot — must equal the LWW state over the first batch's offsets only
     "eng_time_travel" -> { (s, dir) =>
-      val root = workDir("timetravel")
+      val root = workDir(s, "timetravel")
       val c = CdcQueries.changes(s, dir)
       val b = c.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
         .collect()(0)

@@ -163,7 +163,7 @@ object TextQueries {
     // parquet temp — at 100 TB this IS the pipeline design (a materialized
     // shingle table), not a workaround.
     "txt_ngram_jaccard" -> { (s, dir) =>
-      val stage = Staging.dir("shingles") + "/sh.parquet"
+      val stage = Staging.dir(s, "shingles") + "/sh.parquet"
       shingles(s, dir).write.mode("overwrite").parquet(stage)
       val sh = s.read.parquet(stage)
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))

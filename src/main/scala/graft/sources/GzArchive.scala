@@ -1,12 +1,13 @@
 package graft.sources
 
-import java.io.{BufferedReader, ByteArrayInputStream, InputStreamReader, OutputStream}
+import java.io.{BufferedReader, ByteArrayInputStream, ByteArrayOutputStream, InputStreamReader, OutputStream}
 import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 
 import graft.lake.Json
-import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Byte-level interop with the reference connector's on-disk archive: a
@@ -20,17 +21,29 @@ import org.apache.spark.sql.functions._
   * reference does against object storage
   * (source/.../S3FilesReader.java:215-261).
   *
-  * Naming matches the connector: `{base}-{firstOffset%012d}.gz` +
-  * `{base}-{firstOffset%012d}.index.json` (BlockGZIPFileWriter.java:161-167),
-  * where base is `{topic}-{partition%05d}`. Index JSON field order matches
-  * the reference's serialized form byte for byte
-  * (system_test/run.py:214-221 golden).
+  * Bucket layout matches the connector end to end:
+  *   - data/index files `{topic}-{partition%05d}-{firstOffset%012d}.gz` /
+  *     `….index.json` (BlockGZIPFileWriter.java:161-167), optionally nested
+  *     under a date prefix like the connector's upload keys
+  *     (S3Writer.java:129-136 — there derived from wall clock and explicitly
+  *     "meaningless"; here the caller passes a deterministic prefix)
+  *   - a cursor file `last_chunk_index.{topic}-{partition%05d}.txt` at the
+  *     archive root holding the key of the newest index file, written AFTER
+  *     data+index (the reference's upload order, S3Writer.java:61-81);
+  *     offset recovery reads cursor → index → `first_record_offset +
+  *     num_records` of the last chunk (S3Writer.java:83-127, 404 ⇒ 0)
+  * so the engine reads (and resumes, and appends to) a bucket the real
+  * connector wrote, and vice versa.
   *
   * Spark integration is CHUNK-grain: the driver reads only the index files
   * (metadata-scale), then fans each chunk's (byteOffset, byteLength) out as
   * a task row — every executor task seeks and decompresses exactly one
   * member's byte range, so a 100 TB archive parallelizes at ~chunkThreshold
-  * granularity with no full-file scans and no shuffle.
+  * granularity with no full-file scans and no shuffle. The write side is
+  * FILE-grain parallel: file boundaries are pre-assigned from the archive
+  * offsets, so one task writes one output file (bytes depend only on that
+  * file's records) — a hot partition's backfill no longer serializes on a
+  * single task.
   */
 object GzArchive {
 
@@ -47,6 +60,10 @@ object GzArchive {
     def totalSize: Long = chunks.lastOption.map(c => c.byteOffset + c.byteLength).getOrElse(0L)
     def lastOffset: Long =
       chunks.lastOption.map(c => c.firstRecordOffset + c.numRecords - 1).getOrElse(-1L)
+    /** next offset after this file's records — the sink-resume arithmetic
+      * (S3Writer.java:123-127) */
+    def nextOffset: Long =
+      chunks.lastOption.map(c => c.firstRecordOffset + c.numRecords).getOrElse(0L)
     /** first chunk whose record range covers `offset`
       * (source/.../json/ChunksIndex.java chunkContaining) */
     def chunkContaining(offset: Long): Option[Chunk] =
@@ -73,6 +90,10 @@ object GzArchive {
     Json.mapper.writeValueAsString(root)
   }
 
+  /** Tolerant of a missing byte_length_uncompressed: the reference's sink
+    * always writes it, but its own offset-recovery test fixtures omit it
+    * (S3WriterTest.java:199-210) — offset arithmetic must not depend on it.
+    */
   def parseIndex(s: String): Index = {
     val node = Json.parse(s)
     val it = node.get("chunks").elements()
@@ -84,10 +105,15 @@ object GzArchive {
         numRecords = c.get("num_records").asLong(),
         byteOffset = c.get("byte_offset").asLong(),
         byteLength = c.get("byte_length").asLong(),
-        byteLengthUncompressed = c.get("byte_length_uncompressed").asLong())
+        byteLengthUncompressed =
+          Option(c.get("byte_length_uncompressed")).map(_.asLong()).getOrElse(0L))
     }
     Index(buf.result())
   }
+
+  /** cursor key for a topic-partition (S3Writer.java:138-140) */
+  def cursorFileName(topic: String, partition: Int): String =
+    f"last_chunk_index.$topic-$partition%05d.txt"
 
   private final class CountingOutputStream(out: OutputStream) extends OutputStream {
     var numBytes = 0L
@@ -141,7 +167,8 @@ object GzArchive {
       // offset 10 bytes INSIDE member 1. Latent there (its reader re-reads
       // whole files for header init, S3FilesReader.java:236-243, and
       // non-header chunk offsets are derived arithmetically); fatal for our
-      // ranged chunk reads, so deliberately fixed.
+      // ranged chunk reads, so deliberately fixed. The read side still
+      // accepts reference-written (misaligned) files — see readTasks.
       chunks.head.byteOffset = fileStream.numBytes
       gzipStream = new GZIPOutputStream(fileStream)
     }
@@ -190,12 +217,29 @@ object GzArchive {
   // ---------------------------------------------------------------- write
 
   /** Distributed archive write: `df` must have (partition INT, a sort
-    * column, line STRING — newline-free). One shuffle clusters each CDC
-    * partition onto one task sorted by `sortCol`; the task streams runs of
-    * equal `partition` into BlockGzWriters, rolling to a new file (with the
-    * connector's `-{firstOffset%012d}` name) every `recordsPerFile` records
-    * — the flush-cycle analogue. Archive offsets are per-partition
-    * consecutive from 0, like Kafka offsets.
+    * column, line STRING — newline-free). Archive offsets are per-partition
+    * consecutive from `startOffsets` (default 0), like Kafka offsets,
+    * assigned by rank over `sortCol` (which must therefore be unique per
+    * partition for a deterministic archive).
+    *
+    * Parallelism is FILE-grain: file boundaries are pre-assigned from the
+    * offsets (a file starts at each multiple of `recordsPerFile`), the
+    * batch is shuffled on (partition, file) and each task streams one
+    * file's records into a [[BlockGzWriter]] — a file's bytes depend only
+    * on its own record run, so the output is byte-identical to a serial
+    * per-partition writer while a hot partition's backfill fans out across
+    * tasks. Task commit is temp-write + rename (data first, then index —
+    * the reference's upload order, S3Writer.java:61-81), so a speculative
+    * or zombie attempt racing its retry never interleaves writes into a
+    * published file: attempts write attempt-scoped temp names and the
+    * rename of identical bytes is idempotent.
+    *
+    * After the job, one cursor file per partition is published at the root
+    * (`last_chunk_index.{topic}-{p%05d}.txt`, S3Writer.java:138-153)
+    * pointing at the newest index key, and `.inprogress` scratch is
+    * reclaimed. `datePrefix` nests data/index files one level down like the
+    * connector's bucket layout — pass something deterministic (event-time
+    * derived), never wall clock.
     */
   def writeArchive(
       df: DataFrame,
@@ -203,34 +247,102 @@ object GzArchive {
       topic: String,
       sortCol: String,
       chunkThreshold: Long = 64L * 1024 * 1024,
-      recordsPerFile: Long = Long.MaxValue): Unit = {
-    df.select(col("partition").cast("int").as("partition"),
-        col(sortCol).as("_sort"), col("line"))
-      .repartition(col("partition"))
-      .sortWithinPartitions(col("partition"), col("_sort"))
-      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
-        val fs = FileSystem.get(new java.net.URI(root), new Configuration())
-        val dir = new Path(root)
-        var part = -1
-        var nextOffset = 0L
-        var w: BlockGzWriter = null
-        def closeW(): Unit = if (w != null) { w.close(); w = null }
+      recordsPerFile: Long = Long.MaxValue,
+      datePrefix: String = "",
+      header: Array[Byte] = Array.emptyByteArray,
+      startOffsets: Map[Int, Long] = Map.empty): Unit = {
+    require(recordsPerFile > 0, "recordsPerFile must be positive")
+    val spark = df.sparkSession
+    val conf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+
+    val base = df.select(col("partition").cast("int").as("partition"),
+      col(sortCol).as("_sort"), col("line"))
+    val withStart =
+      if (startOffsets.isEmpty) base.withColumn("_start", lit(0L))
+      else {
+        val so = spark.createDataFrame(startOffsets.toSeq).toDF("partition", "_start")
+        base.join(broadcast(so), Seq("partition"), "left")
+          .withColumn("_start", coalesce(col("_start"), lit(0L)))
+      }
+    val w = Window.partitionBy(col("partition")).orderBy(col("_sort"))
+    val assigned = withStart
+      .withColumn("_aoff", row_number().over(w).cast("long") - 1L + col("_start"))
+      // file first-offset: aligned to multiples of recordsPerFile (for the
+      // default Long.MaxValue this is 0 — one file per partition). pmod, not
+      // div*mul, so Long.MaxValue cannot overflow.
+      .withColumn("_file", col("_aoff") - pmod(col("_aoff"), lit(recordsPerFile)))
+      .select(col("partition"), col("_file"), col("_aoff"), col("line"))
+
+    val hdr = header // avoid closing over the outer args object
+    val prefix = datePrefix
+    val thr = chunkThreshold
+    assigned
+      .repartition(col("partition"), col("_file"))
+      .sortWithinPartitions(col("partition"), col("_file"), col("_aoff"))
+      .foreachPartition { rows: Iterator[Row] =>
+        val fs = new Path(root).getFileSystem(conf.value.value)
+        val destDir = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
+        val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
+        val tmpDir = new Path(root, s".inprogress/attempt-$attempt")
+        var curPart = -1
+        var curFile = -1L
+        var bw: BlockGzWriter = null
+        def commitW(): Unit = if (bw != null) {
+          bw.close()
+          fs.mkdirs(destDir)
+          // data first, then index (readers that see an index can trust the
+          // data is already in place — the reference's upload order)
+          Seq(bw.dataFileName, bw.indexFileName).foreach { name =>
+            val dst = new Path(destDir, name)
+            fs.delete(dst, false)
+            if (!fs.rename(new Path(tmpDir, name), dst))
+              throw new java.io.IOException(s"archive commit rename to $dst failed")
+          }
+          bw = null
+        }
+        var any = false
         rows.foreach { r =>
           val p = r.getInt(0)
-          if (p != part) { closeW(); part = p; nextOffset = 0L }
-          if (w == null)
-            w = new BlockGzWriter(fs, dir, f"$topic-$part%05d", nextOffset, chunkThreshold)
-          w.write((r.getString(2) + "\n").getBytes("UTF-8"))
-          nextOffset += 1
-          if (nextOffset % recordsPerFile == 0) closeW()
+          val file = r.getLong(1)
+          val aoff = r.getLong(2)
+          if (p != curPart || file != curFile) {
+            commitW()
+            curPart = p; curFile = file
+            // the file is NAMED by its first actual record offset (= `file`
+            // except for the very first file of a partition with a non-zero
+            // start, which begins mid-boundary)
+            bw = new BlockGzWriter(fs, tmpDir, f"$topic-$p%05d", aoff, thr, hdr)
+          }
+          bw.write((r.getString(3) + "\n").getBytes("UTF-8"))
+          any = true
         }
-        closeW()
+        commitW()
+        if (any) fs.delete(tmpDir, true): Unit
+      }
+
+    // publish cursors (driver side, after every file landed): newest index
+    // key per partition, at the archive root. Listing is metadata-scale.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(root, ".inprogress"), true)
+    listIndexFiles(fs, new Path(root))
+      .filter(_.topic == topic)
+      .groupBy(_.partition)
+      .foreach { case (p, files) =>
+        val latest = files.maxBy(_.firstOffset)
+        val out = fs.create(new Path(root, cursorFileName(topic, p)), true)
+        out.write(latest.rel.getBytes("UTF-8"))
+        out.close()
       }
   }
 
   // ----------------------------------------------------------------- read
 
-  /** one reading task = one gzip member (+ a resume floor within it) */
+  /** one reading task = one gzip member (+ a resume floor within it).
+    * `headerLen` > 0 marks a file whose leading member is a format header
+    * occupying bytes [0, headerLen) — the init-required replay of
+    * S3FilesReader.java:236-243.
+    */
   final case class ChunkTask(
       file: String,
       topic: String,
@@ -239,67 +351,161 @@ object GzArchive {
       byteLength: Long,
       firstRecordOffset: Long,
       numRecords: Long,
-      minOffsetExclusive: Long)
+      minOffsetExclusive: Long,
+      headerLen: Long)
 
   final case class GzRecord(topic: String, partition: Int, offset: Long, value: String)
+  final case class GzRecordH(topic: String, partition: Int, offset: Long,
+      value: String, header: String)
 
   private val FileName = """(.+)-(\d{5})-(\d{12})\.index\.json""".r
+  private val CursorName = """last_chunk_index\.(.+)-(\d{5})\.txt""".r
 
-  /** driver-side index listing: metadata-scale (index files only) */
-  private def listTasks(spark: SparkSession, root: String): Seq[ChunkTask] = {
-    val fs = FileSystem.get(new java.net.URI(root), spark.sparkContext.hadoopConfiguration)
-    val st = fs.listStatus(new Path(root))
-    st.toSeq.flatMap { s =>
+  private final case class IndexFile(
+      status: FileStatus, rel: String, topic: String, partition: Int, firstOffset: Long)
+
+  /** Recursive metadata-scale listing of index files: a real connector
+    * bucket nests data/index under `yyyy-MM-dd` prefixes (S3Writer.java:129-136),
+    * and its source lists across prefixes (S3FilesReader.java:140-157) — so
+    * recurse through subdirectories (dot-dirs like `.inprogress` excluded).
+    */
+  private def listIndexFiles(fs: FileSystem, root: Path): Seq[IndexFile] = {
+    if (!fs.exists(root)) return Nil
+    val qRoot = fs.makeQualified(root)
+    def walk(p: Path): Seq[FileStatus] =
+      fs.listStatus(p).toSeq.flatMap { s =>
+        if (s.isDirectory) {
+          if (s.getPath.getName.startsWith(".")) Nil else walk(s.getPath)
+        } else Seq(s)
+      }
+    walk(root).flatMap { s =>
       s.getPath.getName match {
-        case FileName(topic, part, _) =>
-          val in = fs.open(s.getPath)
-          val bytes = new Array[Byte](s.getLen.toInt)
-          in.readFully(0, bytes)
-          in.close()
-          val idx = parseIndex(new String(bytes, "UTF-8"))
-          val dataFile = new Path(s.getPath.getParent,
-            s.getPath.getName.stripSuffix(".index.json") + ".gz").toString
-          idx.chunks.map(c => ChunkTask(dataFile, topic, part.toInt, c.byteOffset,
-            c.byteLength, c.firstRecordOffset, c.numRecords, Long.MinValue))
-        case _ => Nil
+        case FileName(topic, part, off) =>
+          val rel = qRoot.toUri.relativize(fs.makeQualified(s.getPath).toUri).getPath
+          Some(IndexFile(s, rel, topic, part.toInt, off.toLong))
+        case _ => None
       }
     }
   }
 
-  private def readTasks(spark: SparkSession, tasks: Seq[ChunkTask]): Dataset[GzRecord] = {
+  /** driver-side index parse → chunk task rows (metadata-scale) */
+  private def listTasks(spark: SparkSession, root: String): Seq[ChunkTask] = {
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    listIndexFiles(fs, new Path(root)).flatMap(f => tasksOf(fs, root, f))
+  }
+
+  private def tasksOf(fs: FileSystem, root: String, f: IndexFile): Seq[ChunkTask] = {
+    val len = f.status.getLen
+    require(len <= Int.MaxValue, s"index file ${f.rel} larger than 2 GiB")
+    val in = fs.open(f.status.getPath)
+    val bytes = new Array[Byte](len.toInt)
+    in.readFully(0, bytes)
+    in.close()
+    val idx = parseIndex(new String(bytes, "UTF-8"))
+    val dataFile = new Path(f.status.getPath.getParent,
+      f.status.getPath.getName.stripSuffix(".index.json") + ".gz").toString
+    val headerLen = idx.chunks.headOption.map(_.byteOffset).getOrElse(0L)
+    idx.chunks.map(c => ChunkTask(dataFile, f.topic, f.partition, c.byteOffset,
+      c.byteLength, c.firstRecordOffset, c.numRecords, Long.MinValue, headerLen))
+  }
+
+  private def gzipMagic(buf: Array[Byte]): Boolean =
+    buf.length >= 2 && (buf(0) & 0xff) == 0x1f && (buf(1) & 0xff) == 0x8b
+
+  /** Decompress a (possibly multi-member) gzip byte range, tolerating a
+    * truncated trailing member START: a reference-written header file's
+    * recorded header region is 10 bytes too long (the off-by-10 documented
+    * at the BlockGzWriter header fix), so the range ends with a bare member
+    * header and no deflate data — everything before it decodes fine.
+    */
+  private def gunzipTolerant(buf: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    try {
+      val in = new GZIPInputStream(new ByteArrayInputStream(buf))
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { out.write(b, 0, n); n = in.read(b) }
+    } catch { case _: java.io.EOFException => () }
+    out.toByteArray
+  }
+
+  private def readTasks(spark: SparkSession, tasks: Seq[ChunkTask],
+      withHeader: Boolean = false): DataFrame = {
     import spark.implicits._
+    val conf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
     val n = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
-    spark.createDataset(tasks).repartition(n).mapPartitions { it =>
-      // per-task ranged read: seek to the member, read EXACTLY byteLength
-      // bytes, decompress just that member — never the whole file
-      var fs: FileSystem = null
-      it.flatMap { t =>
-        if (fs == null) fs = FileSystem.get(new java.net.URI(t.file), new Configuration())
-        val in = fs.open(new Path(t.file))
-        val buf = new Array[Byte](t.byteLength.toInt)
-        in.readFully(t.byteOffset, buf)
-        in.close()
-        val r = new BufferedReader(new InputStreamReader(
-          new GZIPInputStream(new ByteArrayInputStream(buf)), "UTF-8"))
-        val out = scala.collection.mutable.ArrayBuffer.empty[GzRecord]
-        var line = r.readLine()
-        var off = t.firstRecordOffset
-        while (line != null) {
-          if (off > t.minOffsetExclusive) out += GzRecord(t.topic, t.partition, off, line)
-          off += 1
-          line = r.readLine()
+    val ds: Dataset[GzRecordH] =
+      spark.createDataset(tasks).repartition(n).mapPartitions { it =>
+        // per-task ranged read: seek to the member, read EXACTLY byteLength
+        // bytes, decompress just that member — never the whole file
+        var fs: FileSystem = null
+        def ranged(file: String, off: Long, len: Long): Array[Byte] = {
+          require(len <= Int.MaxValue,
+            s"chunk $file@$off is ${len}B compressed — past the 2 GiB buffer " +
+              "bound; re-archive with a smaller chunkThreshold (a single " +
+              "record larger than 2 GiB compressed cannot be ranged-read)")
+          val in = fs.open(new Path(file))
+          val buf = new Array[Byte](len.toInt)
+          in.readFully(off, buf)
+          in.close()
+          buf
         }
-        require(off - t.firstRecordOffset == t.numRecords,
-          s"chunk ${t.file}@${t.byteOffset} decoded ${off - t.firstRecordOffset} records, " +
-            s"index says ${t.numRecords}")
-        out
+        it.flatMap { t =>
+          if (fs == null)
+            fs = new Path(t.file).getFileSystem(conf.value.value)
+          var off0 = t.byteOffset
+          var len0 = t.byteLength
+          var buf = ranged(t.file, off0, len0)
+          if (!gzipMagic(buf) && off0 >= 10) {
+            // Reference-written header-bearing file: BlockGZIPFileWriter
+            // records chunk 0's byte_offset AFTER opening the next gzip
+            // member — 10 bytes (one member header) inside it
+            // (BlockGZIPFileWriter.java:147-149) — and byte_length
+            // correspondingly 10 short. Later chunks derive arithmetically
+            // and stay correct. Correct the one misaligned chunk by the
+            // member-header width and re-check the magic.
+            off0 -= 10; len0 += 10
+            buf = ranged(t.file, off0, len0)
+          }
+          require(gzipMagic(buf) || buf.isEmpty,
+            s"chunk ${t.file}@${t.byteOffset} does not start a gzip member " +
+              "(corrupt index or data)")
+          val header =
+            if (!withHeader || t.headerLen == 0) ""
+            else new String(gunzipTolerant(
+              ranged(t.file, 0L, t.headerLen)), "UTF-8")
+          val r = new BufferedReader(new InputStreamReader(
+            new GZIPInputStream(new ByteArrayInputStream(buf)), "UTF-8"))
+          val out = scala.collection.mutable.ArrayBuffer.empty[GzRecordH]
+          var line = r.readLine()
+          var off = t.firstRecordOffset
+          while (line != null) {
+            if (off > t.minOffsetExclusive)
+              out += GzRecordH(t.topic, t.partition, off, line, header)
+            off += 1
+            line = r.readLine()
+          }
+          require(off - t.firstRecordOffset == t.numRecords,
+            s"chunk ${t.file}@${t.byteOffset} decoded ${off - t.firstRecordOffset} records, " +
+              s"index says ${t.numRecords}")
+          out
+        }
       }
-    }
+    if (withHeader) ds.toDF() else ds.drop("header")
   }
 
   /** full archive scan (still chunk-parallel) */
   def read(spark: SparkSession, root: String): DataFrame =
-    readTasks(spark, listTasks(spark, root)).toDF()
+    readTasks(spark, listTasks(spark, root))
+
+  /** like [[read]], plus each record carries its file's decoded format
+    * header (empty when the file has none) — the distributed analogue of
+    * the reference's header replay for init-required formats
+    * (S3FilesReader.java:236-243).
+    */
+  def readWithHeader(spark: SparkSession, root: String): DataFrame =
+    readTasks(spark, listTasks(spark, root), withHeader = true)
 
   /** Resume past per-partition committed offsets: whole chunks at or below
     * the floor are PRUNED on the driver from the index alone (never opened
@@ -315,6 +521,69 @@ object GzArchive {
         case _ => None // chunk entirely at or below the committed offset
       }
     }
-    readTasks(spark, tasks).toDF()
+    readTasks(spark, tasks)
+  }
+
+  /** Cursor-derived per-partition NEXT offsets — the port of
+    * S3Writer.fetchOffset (S3Writer.java:83-127): cursor file → index key →
+    * last chunk's `first_record_offset + num_records`. A partition with no
+    * cursor is absent from the map (the 404 ⇒ start-from-0 case,
+    * S3Writer.java:101-107). Pass the result as `startOffsets` to
+    * [[writeArchive]] to continue an existing bucket.
+    */
+  def fetchOffsets(spark: SparkSession, root: String, topic: String): Map[Int, Long] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootPath)) return Map.empty
+    fs.listStatus(rootPath).toSeq.flatMap { s =>
+      s.getPath.getName match {
+        case CursorName(t, p) if t == topic && !s.isDirectory =>
+          val key = readSmall(fs, s.getPath).trim
+          val idx = parseIndex(readSmall(fs, new Path(rootPath, key)))
+          Some(p.toInt -> idx.nextOffset)
+        case _ => None
+      }
+    }.toMap
+  }
+
+  /** Cursor-trusted read: only files the cursor acknowledges — i.e. files
+    * whose first offset is at or below the cursor's index key — are read;
+    * later files are unpublished orphans from a crashed writer (data+index
+    * uploaded, cursor never updated) and are EXCLUDED, because "readers
+    * only trust the cursor" is the publish protocol's whole correctness
+    * story (S3Writer.java:61-81; SURVEY.md §1.3). Partitions with no cursor
+    * contribute nothing.
+    */
+  def readCommitted(spark: SparkSession, root: String, topic: String): DataFrame = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ackFirstOffset: Map[Int, Long] =
+      if (!fs.exists(rootPath)) Map.empty
+      else fs.listStatus(rootPath).toSeq.flatMap { s =>
+        s.getPath.getName match {
+          case CursorName(t, p) if t == topic && !s.isDirectory =>
+            val key = readSmall(fs, s.getPath).trim
+            new Path(key).getName match {
+              case FileName(_, _, off) => Some(p.toInt -> off.toLong)
+              case _ => None
+            }
+          case _ => None
+        }
+      }.toMap
+    val tasks = listIndexFiles(fs, rootPath)
+      .filter(f => f.topic == topic &&
+        ackFirstOffset.get(f.partition).exists(f.firstOffset <= _))
+      .flatMap(f => tasksOf(fs, root, f))
+    readTasks(spark, tasks)
+  }
+
+  private def readSmall(fs: FileSystem, p: Path): String = {
+    val len = fs.getFileStatus(p).getLen
+    require(len <= (16 << 20), s"$p unreasonably large for a metadata file")
+    val in = fs.open(p)
+    val bytes = new Array[Byte](len.toInt)
+    in.readFully(0, bytes)
+    in.close()
+    new String(bytes, "UTF-8")
   }
 }

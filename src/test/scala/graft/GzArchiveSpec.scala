@@ -177,4 +177,192 @@ class GzArchiveSpec extends AnyFunSuite {
     // a fully caught-up partition reads nothing
     assert(GzArchive.readFrom(spark, root, Map(0 -> 119L, 1 -> 119L)).count() === 0L)
   }
+
+  test("offset recovery from cursor: S3WriterTest's 12031+34 fixture") {
+    // port of S3WriterTest.java:185-218 — cursor file names an index whose
+    // last chunk starts at 12031 with 34 records; fetchOffsets must return
+    // 12065. The fixture index (like the reference's) omits
+    // byte_length_uncompressed — parseIndex must tolerate that.
+    val root = new Path(SparkTestSession.tempDir("gzcursor"))
+    val indexKey = "2024-06-01/bar-00000-000000010042.index.json"
+    val fs = localFs
+    def put(p: Path, s: String): Unit = {
+      val out = fs.create(p, true); out.write(s.getBytes("UTF-8")); out.close()
+    }
+    put(new Path(root, GzArchive.cursorFileName("bar", 0)), indexKey)
+    put(new Path(root, indexKey),
+      """{"chunks":[""" +
+        """{"first_record_offset":10042,"num_records":1000,"byte_offset":0,"byte_length":10000},""" +
+        """{"first_record_offset":11042,"num_records":989,"byte_offset":10000,"byte_length":9890},""" +
+        """{"first_record_offset":12031,"num_records":34,"byte_offset":19890,"byte_length":340}]}""")
+    assert(GzArchive.fetchOffsets(spark, root.toString, "bar") === Map(0 -> 12065L))
+    // missing cursor = the 404 case: partition absent (caller starts at 0)
+    assert(GzArchive.fetchOffsets(spark, root.toString, "other") === Map.empty)
+  }
+
+  test("date-prefixed bucket layout: listing recurses, cursors publish, orphans excluded") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("gzbucket")
+    val df = (0 until 2).flatMap { p =>
+      (0 until 60).map(i => (p, i.toLong, s"p$p rec $i"))
+    }.toDF("partition", "k", "line")
+    GzArchive.writeArchive(df, root, "t", "k",
+      chunkThreshold = 256, recordsPerFile = 25, datePrefix = "2024-06-01")
+
+    // data/index nested under the prefix, cursors at the root
+    val rootNames = localFs.listStatus(new Path(root)).map(_.getPath.getName).toSet
+    assert(rootNames.contains("2024-06-01"))
+    assert(rootNames.contains("last_chunk_index.t-00000.txt"))
+    assert(rootNames.contains("last_chunk_index.t-00001.txt"))
+    val day = localFs.listStatus(new Path(root, "2024-06-01")).map(_.getPath.getName)
+    assert(day.count(_.endsWith(".gz")) === 6) // 60/25 -> files at 0,25,50 per partition
+    assert(day.contains("t-00000-000000000050.gz"))
+
+    // cursor names the NEWEST index, relative to the root
+    val cur = new String(readFileBytes(new Path(root, "last_chunk_index.t-00000.txt"), 0,
+      localFs.getFileStatus(new Path(root, "last_chunk_index.t-00000.txt")).getLen.toInt), "UTF-8")
+    assert(cur === "2024-06-01/t-00000-000000000050.index.json")
+    assert(GzArchive.fetchOffsets(spark, root, "t") === Map(0 -> 60L, 1 -> 60L))
+
+    // the recursive full read sees everything under the prefix
+    assert(GzArchive.read(spark, root).count() === 120L)
+
+    // an orphan beyond the cursor (crash between upload and cursor write):
+    // full read sees it, the cursor-trusted read must not
+    val w = new GzArchive.BlockGzWriter(localFs, new Path(root, "2024-06-02"),
+      "t-00000", firstRecordOffset = 60L, chunkThreshold = 256)
+    (0 until 9).foreach(i => w.write(s"orphan $i\n".getBytes("UTF-8")))
+    w.close()
+    assert(GzArchive.read(spark, root).count() === 129L)
+    val committed = GzArchive.readCommitted(spark, root, "t")
+    assert(committed.count() === 120L)
+    assert(committed.agg(max(col("offset"))).collect()(0).getLong(0) === 59L)
+  }
+
+  test("resume-append: startOffsets from the cursor continues the bucket") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("gzappend")
+    val first = (0 until 10).map(i => (0, i.toLong, s"first $i")).toDF("partition", "k", "line")
+    GzArchive.writeArchive(first, root, "t", "k", chunkThreshold = 256)
+    val next = GzArchive.fetchOffsets(spark, root, "t")
+    assert(next === Map(0 -> 10L))
+    val more = (0 until 5).map(i => (0, i.toLong, s"more $i")).toDF("partition", "k", "line")
+    GzArchive.writeArchive(more, root, "t", "k", chunkThreshold = 256,
+      startOffsets = next)
+    // second batch landed as its own file named by its first offset
+    val names = localFs.listStatus(new Path(root)).map(_.getPath.getName)
+    assert(names.contains("t-00000-000000000010.gz"))
+    val back = GzArchive.read(spark, root).orderBy("offset").collect()
+    assert(back.length === 15)
+    assert(back.map(_.getLong(2)).toSeq === (0L until 15L))
+    assert(back(12).getString(3) === "more 2")
+    assert(GzArchive.fetchOffsets(spark, root, "t") === Map(0 -> 15L))
+  }
+
+  test("parallel per-file write is byte-identical to a serial writer") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("gzbyteeq")
+    val lines = (0 until 120).map(i => s"record $i " + ("x" * (i % 37)))
+    val df = lines.zipWithIndex.map { case (l, i) => (0, i.toLong, l) }
+      .toDF("partition", "k", "line")
+    GzArchive.writeArchive(df, root, "t", "k", chunkThreshold = 300, recordsPerFile = 50)
+
+    // serial expectation: one BlockGzWriter per 50-record slice
+    val expDir = new Path(SparkTestSession.tempDir("gzbyteeq-exp"))
+    Seq(0, 50, 100).foreach { first =>
+      val w = new GzArchive.BlockGzWriter(localFs, expDir, "t-00000",
+        firstRecordOffset = first.toLong, chunkThreshold = 300)
+      lines.slice(first, first + 50).foreach(l => w.write((l + "\n").getBytes("UTF-8")))
+      w.close()
+    }
+    def bytes(dir: Path, name: String): Seq[Byte] = {
+      val len = localFs.getFileStatus(new Path(dir, name)).getLen.toInt
+      readFileBytes(new Path(dir, name), 0, len).toSeq
+    }
+    localFs.listStatus(expDir).map(_.getPath.getName).foreach { name =>
+      assert(bytes(new Path(root), name) === bytes(expDir, name),
+        s"$name must be byte-identical between parallel and serial writers")
+    }
+  }
+
+  test("header-bearing archive round-trips through the distributed read") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("gzhdrdist")
+    val df = (0 until 30).map(i => (0, i.toLong, s"rec $i")).toDF("partition", "k", "line")
+    GzArchive.writeArchive(df, root, "t", "k", chunkThreshold = 64,
+      recordsPerFile = 10, header = "format=text v1\n".getBytes("UTF-8"))
+    // records decode cleanly (header member never surfaces as a record)
+    val back = GzArchive.read(spark, root).orderBy("offset").collect()
+    assert(back.length === 30)
+    assert(back.map(_.getString(3)).toSeq === (0 until 30).map(i => s"rec $i"))
+    // and the header is available for init-required formats
+    val withH = GzArchive.readWithHeader(spark, root).collect()
+    assert(withH.forall(_.getString(4) === "format=text v1\n"))
+  }
+
+  test("reads a reference-written header file (chunk-0 offset off by 10)") {
+    import spark.implicits._
+    // Emulate BlockGZIPFileWriter.java:147-149: data bytes identical to
+    // ours, but the index records chunk 0's byte_offset 10 bytes INSIDE
+    // member 1 (and byte_length 10 short) because the reference reads the
+    // counting stream AFTER constructing the next GZIPOutputStream.
+    val root = SparkTestSession.tempDir("gzrefbug")
+    val dir = new Path(root)
+    val w = new GzArchive.BlockGzWriter(localFs, dir, "t-00000", 0L, 1000L,
+      header = "HDR\n".getBytes("UTF-8"))
+    val lines = (0 until 8).map(i => s"line $i")
+    lines.foreach(l => w.write((l + "\n").getBytes("UTF-8")))
+    w.close()
+    val idxPath = new Path(dir, "t-00000-000000000000.index.json")
+    val idx = GzArchive.parseIndex(new String(readFileBytes(idxPath, 0,
+      localFs.getFileStatus(idxPath).getLen.toInt), "UTF-8"))
+    val skewed = idx.copy(chunks = idx.chunks.zipWithIndex.map {
+      case (c, 0) => c.copy(byteOffset = c.byteOffset + 10, byteLength = c.byteLength - 10)
+      case (c, _) => c
+    })
+    val out = localFs.create(idxPath, true)
+    out.write(GzArchive.indexJson(skewed).getBytes("UTF-8"))
+    out.close()
+
+    val back = GzArchive.read(spark, root).orderBy("offset").collect()
+    assert(back.map(_.getString(3)).toSeq === lines)
+    // header replay also tolerates the over-long recorded header region
+    val withH = GzArchive.readWithHeader(spark, root).collect()
+    assert(withH.forall(_.getString(4) === "HDR\n"))
+  }
+
+  test("a chunk past the 2 GiB buffer bound fails loudly, not with overflow") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("gzhuge")
+    val df = Seq((0, 0L, "tiny")).toDF("partition", "k", "line")
+    GzArchive.writeArchive(df, root, "t", "k")
+    val idxPath = new Path(root, "t-00000-000000000000.index.json")
+    val idx = GzArchive.parseIndex(new String(readFileBytes(idxPath, 0,
+      localFs.getFileStatus(idxPath).getLen.toInt), "UTF-8"))
+    val huge = idx.copy(chunks = idx.chunks.map(
+      _.copy(byteLength = Int.MaxValue.toLong + 1)))
+    val out = localFs.create(idxPath, true)
+    out.write(GzArchive.indexJson(huge).getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] { GzArchive.read(spark, root).count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("2 GiB")))
+  }
+
+  test("executor tasks see the session's Hadoop configuration") {
+    // the regression this guards: executor-side `new Configuration()` drops
+    // session settings (S3A credentials, endpoints) — archive tasks must
+    // carry the driver's conf via SerializableHadoopConf
+    import spark.implicits._
+    spark.sparkContext.hadoopConfiguration.set("graft.test.key", "carried")
+    try {
+      val bc = spark.sparkContext.broadcast(
+        new graft.sources.SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+      val seen = spark.range(4).mapPartitions { _ =>
+        Iterator(Option(bc.value.value.get("graft.test.key")).getOrElse("MISSING"))
+      }.collect().toSet
+      assert(seen === Set("carried"))
+    } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.key")
+  }
 }
