@@ -164,6 +164,13 @@ object ScalingBench {
     } finally spark.stop()
   }
 
+  /** One fresh-JVM full-ingest measurement, for Bench's graded scale row
+    * (fresh JVM because `runSingle`'s getOrCreate would capture — and then
+    * stop — the caller's session, and same-JVM reruns degrade anyway).
+    */
+  def measureOnce(cores: Int, nEvents: Long, nBatches: Int): (Double, Long) =
+    measureFresh(cores, nEvents, nBatches)
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--single")) {
       val (dt, n) = runSingle(args(1).toInt, args(2).toLong, args(3).toInt)

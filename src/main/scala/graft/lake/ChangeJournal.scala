@@ -267,23 +267,74 @@ final class ChangeJournal(
     * lake's committed watermarks after a MERGE, when the events are durable
     * downstream; without this the journal grows without bound at 10^10
     * events. Files straddling the watermark are kept whole (readFrom's row
-    * filter handles the overlap). Commits a FULL manifest (the delta chain
-    * encodes append-only growth, so a removal resets it), then deletes the
-    * dropped data files — a crash between the two leaves only unreferenced
-    * orphans, never a manifest referencing missing files. Resume offsets
-    * (`nextOffsets`) are untouched. Returns the number of files dropped.
+    * filter handles the overlap). Resume offsets (`nextOffsets`) are
+    * untouched. Returns the number of files dropped from the manifest.
+    *
+    * Physical reclamation is DEFERRED: dropping a file from the manifest is
+    * immediate (a full-manifest commit — the delta chain encodes
+    * append-only growth, so a removal resets it), but its bytes — and those
+    * of the manifests the full commit superseded, which otherwise
+    * accumulate forever — are recorded in a pending-delete tombstone list
+    * stamped with the DROP time and reclaimed only once `graceMs` has
+    * passed since the drop. A concurrent reader that resolved the previous
+    * snapshot's listing can therefore finish its scan; an mtime cutoff
+    * could not give that guarantee, because a journal file's mtime says
+    * when it was WRITTEN, not when a reader could last have planned to
+    * read it. A crash between the commit and the tombstone write leaves
+    * only unreferenced orphans, never a manifest referencing missing files.
     */
-  def truncate(watermarks: Map[Int, Long]): Int = {
+  def truncate(watermarks: Map[Int, Long],
+      graceMs: Long = 24L * 3600 * 1000): Int = {
     val (dead, kept) = liveFiles().partition { f =>
       watermarks.get(f.get("partition").asInt)
         .exists(w => f.get("max_offset").asLong <= w)
     }
-    if (dead.isEmpty) return 0
-    commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
-      replaceWith = Some(kept))
-    dead.foreach(f =>
-      io.fs.delete(new Path(io.rootPath, f.get("path").asText), false): Unit)
+    if (dead.nonEmpty) {
+      val supersededManifests = (0L until (io.readSnapshot()
+        .map(_.get("version").asLong + 1).getOrElse(0L)))
+        .map(v => f"manifest-$v%012d.json")
+        .filter(rel => io.fs.exists(new Path(io.rootPath, rel)))
+      commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
+        replaceWith = Some(kept))
+      pendingAdd(dead.map(_.get("path").asText) ++ supersededManifests)
+    }
+    reapPending(graceMs)
     dead.size
+  }
+
+  private def pendingPath = new Path(io.rootPath, "pending-delete.json")
+
+  /** record paths that just became unreferenced, stamped with the drop time */
+  private def pendingAdd(paths: Seq[String]): Unit = {
+    val now = System.currentTimeMillis()
+    val arr = if (io.fs.exists(pendingPath))
+      Json.parse(io.readString(pendingPath))
+        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
+    else Json.arr()
+    val known = arr.elements().asScala.map(_.get("path").asText).toSet
+    paths.filterNot(known).foreach { p =>
+      val o = Json.obj(); o.put("path", p); o.put("droppedAt", now)
+      arr.add(o): Unit
+    }
+    io.writeAtomic(pendingPath, Json.write(arr))
+  }
+
+  /** reclaim tombstoned paths whose grace window has fully elapsed */
+  private def reapPending(graceMs: Long): Unit = {
+    if (!io.fs.exists(pendingPath)) return
+    val arr = Json.parse(io.readString(pendingPath))
+    val cutoff = System.currentTimeMillis() - graceMs
+    val (ripe, waiting) = arr.elements().asScala.toSeq
+      .partition(_.get("droppedAt").asLong <= cutoff)
+    if (ripe.isEmpty) return
+    ripe.foreach(e =>
+      io.fs.delete(new Path(io.rootPath, e.get("path").asText), false): Unit)
+    if (waiting.isEmpty) io.fs.delete(pendingPath, false): Unit
+    else {
+      val rest = Json.arr()
+      waiting.foreach(rest.add)
+      io.writeAtomic(pendingPath, Json.write(rest))
+    }
   }
 
   /** The journal's schema: from the manifest when persisted (every commit

@@ -529,6 +529,15 @@ final class LakeTable(
     * keys with the same bytes (the usual idempotence story). Reuse keys on
     * the (groupSize-dependent) shard key, so a changed `shardGroupSize`
     * simply misses on every key and rewrites everything once — safe.
+    *
+    * Reuse is existence-checked at plan time AND re-verified just before
+    * the snapshot swap ([[verifyShards]]): a concurrent vacuum's shard GC
+    * may have reclaimed a shard between our read of the previous
+    * checkpoint's map and this commit's publish — a reuse of a vanished
+    * path would otherwise surface as FileNotFound on every cold read of
+    * the new checkpoint, with no way to self-heal (the listing exists
+    * nowhere else). A vanished shard is simply rewritten fresh under this
+    * version.
     */
   private def writeShards(node: com.fasterxml.jackson.databind.node.ObjectNode,
       version: Long, resolved: Seq[FileEntry],
@@ -537,18 +546,44 @@ final class LakeTable(
     resolved.groupBy(f => shardKey(f.partition, f.sub)).toSeq.sortBy(_._1)
       .foreach { case (k, fs) =>
         val rel = prevShards.get(k) match {
-          case Some(prev) if !dirty.contains(k) => prev
-          case _ =>
-            val p = fs.head.partition
-            val g = fs.head.sub / shardGroupSize
-            val r = f"shards/p$p%05d-g$g%04d-v$version%012d.json"
-            val arr = Json.arr()
-            fs.sortBy(_.sub).foreach(f => arr.add(fileEntryJson(f)): Unit)
-            io.writeString(new Path(io.rootPath, r), Json.write(arr))
-            r
+          case Some(prev) if !dirty.contains(k) &&
+              io.fs.exists(new Path(io.rootPath, prev)) => prev
+          case _ => writeFreshShard(version, fs)
         }
         shardsNode.put(k, rel)
       }
+  }
+
+  private def writeFreshShard(version: Long, fs: Seq[FileEntry]): String = {
+    val p = fs.head.partition
+    val g = fs.head.sub / shardGroupSize
+    val r = f"shards/p$p%05d-g$g%04d-v$version%012d.json"
+    val arr = Json.arr()
+    fs.sortBy(_.sub).foreach(f => arr.add(fileEntryJson(f)): Unit)
+    io.writeString(new Path(io.rootPath, r), Json.write(arr))
+    r
+  }
+
+  /** Last-moment re-verification of shard reuse (see [[writeShards]]): any
+    * referenced shard that vanished since planning is rewritten under this
+    * version and the manifest updated IN PLACE — all before the snapshot
+    * pointer moves, so no reader can ever resolve the new checkpoint to a
+    * dangling shard path. Returns true if the manifest changed.
+    */
+  private def verifyShards(m: com.fasterxml.jackson.databind.node.ObjectNode,
+      version: Long, resolved: Seq[FileEntry]): Boolean = {
+    if (!m.has("shards")) return false
+    val missing = shardMapOf(m).filter { case (_, rel) =>
+      !io.fs.exists(new Path(io.rootPath, rel))
+    }
+    if (missing.isEmpty) return false
+    val byKey = resolved.groupBy(f => shardKey(f.partition, f.sub))
+    val shardsNode = m.get("shards")
+      .asInstanceOf[com.fasterxml.jackson.databind.node.ObjectNode]
+    missing.keys.toSeq.sorted.foreach { k =>
+      shardsNode.put(k, writeFreshShard(version, byKey(k)))
+    }
+    true
   }
 
   private def commit(change: CommitChange, wm: Map[Int, Long],
@@ -635,6 +670,11 @@ final class LakeTable(
     }
     val manifestRel = f"manifest-$version%012d.json"
     io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
+    // re-verify shard reuse against a concurrent vacuum's GC, as late as
+    // possible before the pointer moves (the manifest file is still
+    // unreferenced here, so rewriting it is invisible to readers)
+    if (verifyShards(m, version, resolved))
+      io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
     val snap = Json.obj()
     snap.put("version", version)
     snap.put("manifest", manifestRel)
@@ -713,24 +753,31 @@ final class LakeTable(
           io.fs.delete(st.getPath, false)
       }
     }
-    // the audit trail outlives snapshot retention: roll the lineage rows of
-    // manifests about to be GC'd into the archive BEFORE deleting them.
-    // Idempotent (keyed by (appId, batchId, partition) — batch numbering
-    // restarts at 0 for a new writer, so appId is part of the key) so a
-    // crash-rerun doesn't duplicate; atomic write so a crash never corrupts
-    // the archive.
-    if (doomed.nonEmpty) {
-      val acc = if (io.fs.exists(archivePath))
-        Json.parse(io.readString(archivePath)).asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-      else Json.arr()
-      def key(l: JsonNode) = (
-        Option(l.get("appId")).map(_.asText).getOrElse(""),
-        l.get("batchId").asLong, l.get("partition").asInt)
-      val seen = acc.elements().asScala.map(key).toSet
-      doomed.foreach(_.get("lineage").elements().asScala.foreach { l =>
-        if (!seen.contains(key(l))) acc.add(l): Unit
-      })
-      io.writeAtomic(archivePath, Json.write(acc))
+    // The audit trail outlives snapshot retention: roll the lineage rows of
+    // manifests about to be GC'd into an APPEND-ONLY PARQUET SEGMENT before
+    // deleting them. One segment per vacuum, named by the GC range's upper
+    // bound, so a crash-rerun overwrites the same segment with the same
+    // rows (idempotent) and a crash between segment write and manifest
+    // delete leaves at worst duplicate rows across segments — lineage()
+    // dedups. Unlike the previous single-JSON-array design, neither vacuum
+    // nor lineage() ever materializes or rewrites the whole history on the
+    // driver: vacuum writes O(rows GC'd this pass) and reading is a plain
+    // Spark scan — at 10^6 micro-batches × hundreds of partitions the
+    // archive is GBs, which is exactly the shape parquet segments are for.
+    // A legacy lineage-archive.json (earlier layout: one rewritten-in-full
+    // JSON array) is folded into this pass's segment and removed.
+    if (doomed.nonEmpty || io.fs.exists(legacyArchivePath)) {
+      val doomedRows = doomed.flatMap(m => lineageRowsOf(m.get("lineage")))
+      val legacyRows =
+        if (!io.fs.exists(legacyArchivePath)) Seq.empty
+        else lineageRowsOf(Json.parse(io.readString(legacyArchivePath))).toSeq
+      val rows = (doomedRows ++ legacyRows).distinct
+      if (rows.nonEmpty) {
+        val seg = new Path(io.rootPath, f"_lineage/seg-$keepFrom%012d.parquet")
+        spark.createDataFrame(rows).repartition(1)
+          .write.mode("overwrite").parquet(seg.toString)
+      }
+      io.fs.delete(legacyArchivePath, false): Unit
     }
     val manifestsDeleted = (horizon until keepFrom).count { v =>
       val p = new Path(io.rootPath, f"manifest-$v%012d.json")
@@ -793,8 +840,18 @@ final class LakeTable(
     out.toMap
   }
 
-  private def archivePath = new Path(io.rootPath, "lineage-archive.json")
+  private def legacyArchivePath = new Path(io.rootPath, "lineage-archive.json")
+  private def lineageSegDir = new Path(io.rootPath, "_lineage")
   private def horizonPath = new Path(io.rootPath, "gc-horizon.txt")
+
+  private def lineageRowsOf(n: JsonNode): Iterator[graft.model.LineageRow] =
+    n.elements().asScala.map { l =>
+      graft.model.LineageRow(l.get("batchId").asLong, l.get("partition").asInt,
+        l.get("firstOffset").asLong, l.get("lastOffset").asLong,
+        l.get("numEvents").asLong, l.get("numUpserts").asLong,
+        l.get("numDeletes").asLong,
+        Option(l.get("appId")).map(_.asText).getOrElse(""))
+    }
 
   /** Oldest snapshot version that may still exist (everything below was
     * vacuumed). Bounds lineage()/vacuum() walks to O(retained versions).
@@ -844,25 +901,27 @@ final class LakeTable(
     commit(Full(entries), watermarks(), ss, lastBatchId, Nil, newSubBuckets)
   }
 
-  /** Per-batch per-partition lineage (audit trail): the vacuum archive's
-    * rows plus every surviving manifest's — the trail outlives snapshot GC.
+  /** Per-batch per-partition lineage (audit trail): the archived parquet
+    * segments (written by vacuum, a plain distributed scan — never
+    * materialized on the driver) plus every surviving manifest's rows — the
+    * trail outlives snapshot GC. distinct() covers the transient crash
+    * windows: a batch's rows in a segment AND a not-yet-deleted manifest,
+    * or in two overlapping segments from a crashed-then-rerun vacuum.
     */
   def lineage(): DataFrame = {
-    def rowsOf(n: JsonNode): Iterator[graft.model.LineageRow] =
-      n.elements().asScala.map { l =>
-        graft.model.LineageRow(l.get("batchId").asLong, l.get("partition").asInt,
-          l.get("firstOffset").asLong, l.get("lastOffset").asLong,
-          l.get("numEvents").asLong, l.get("numUpserts").asLong,
-          l.get("numDeletes").asLong,
-          Option(l.get("appId")).map(_.asText).getOrElse(""))
-      }
-    val archived =
-      if (!io.fs.exists(archivePath)) Seq.empty
-      else rowsOf(Json.parse(io.readString(archivePath))).toSeq
+    val segs =
+      if (!io.fs.exists(lineageSegDir)) Seq.empty
+      else io.fs.listStatus(lineageSegDir).toSeq
+        .filter(_.getPath.getName.startsWith("seg-")).map(_.getPath.toString)
+    val legacy =
+      if (!io.fs.exists(legacyArchivePath)) Seq.empty
+      else lineageRowsOf(Json.parse(io.readString(legacyArchivePath))).toSeq
     val liveRows = (gcHorizon to currentVersion).flatMap(v =>
-      manifestAt(v).toSeq.flatMap(m => rowsOf(m.get("lineage"))))
-    // distinct: a crash between archive write and manifest delete leaves one
-    // batch's rows in both places transiently
-    spark.createDataFrame((archived ++ liveRows).distinct)
+      manifestAt(v).toSeq.flatMap(m => lineageRowsOf(m.get("lineage"))))
+    val driverSide = spark.createDataFrame(legacy ++ liveRows)
+    val all =
+      if (segs.isEmpty) driverSide
+      else spark.read.parquet(segs: _*).unionByName(driverSide)
+    all.distinct()
   }
 }

@@ -27,9 +27,22 @@ object AnalyticsQueries {
     * column in the testdata has a nonzero digit past 6 decimal places
     * (verified at sf0.001/0.01/0.1), so the decimal(25,6) round-trip and the
     * *1e6 scaling introduce no rounding on either engine.
+    *
+    * That data property is GUARDED, not assumed: a value that does not
+    * round-trip decimal(25,6) → double exactly would be rounded, and Spark
+    * (HALF_UP on the shortest double repr) and DuckDB's double→decimal
+    * conversion may round differently — the gate would then hash-mismatch
+    * silently at whatever scale factor first grows such a value. Instead,
+    * raise_error fires loudly at Verify time. Cost: one extra cast +
+    * comparison per row, branch-free in codegen.
     */
-  private def micro(c: org.apache.spark.sql.Column) =
-    (c.cast("decimal(25,6)") * lit(1000000)).cast("long")
+  private def micro(c: org.apache.spark.sql.Column) = {
+    val d = c.cast("decimal(25,6)")
+    when(c.isNull || d.cast("double") === c, (d * lit(1000000)).cast("long"))
+      .otherwise(raise_error(concat(
+        lit("micro(): value needs rounding past 6 decimal places "),
+        lit("(engines may round differently): "), c.cast("string"))))
+  }
 
   /** the matching DuckDB expression (kept textually adjacent so the two
     * sides can't drift) */

@@ -123,17 +123,27 @@ class JournalSpec extends AnyFunSuite {
     j.append(changes.filter(col("offset") >= 200), 2L)
     def dataFiles = java.nio.file.Files.list(java.nio.file.Paths.get(root, "data"))
       .filter(_.getFileName.toString.endsWith(".parquet")).count()
+    def manifestFiles = java.nio.file.Files.list(java.nio.file.Paths.get(root))
+      .filter(_.getFileName.toString.startsWith("manifest-")).count()
     assert(dataFiles === 6) // 3 appends x 2 partitions
+    val manifestsBefore = manifestFiles
     // watermark 150: the 0-99 file per partition is wholly below -> dropped;
-    // the 100-199 file straddles -> kept whole
+    // the 100-199 file straddles -> kept whole. With the default reader
+    // grace the drop is manifest-only — bytes survive as tombstoned
+    // pending deletes so a concurrent reader mid-scan on the previous
+    // listing cannot lose files under its feet
     assert(j.truncate(Map(0 -> 150L, 1 -> 150L)) === 2)
-    assert(dataFiles === 4)
+    assert(dataFiles === 6, "grace window: bytes reclaim later, not at drop")
     assert(j.read().count() === 400L)
     assert(j.read().agg(min(col("offset"))).collect()(0).getLong(0) === 100L)
     // resume offsets untouched by retention
     assert(j.nextOffsets() === Map(0 -> 300L, 1 -> 300L))
-    // idempotent
-    assert(j.truncate(Map(0 -> 150L, 1 -> 150L)) === 0)
+    // idempotent; zero grace reaps the tombstones: dropped data files AND
+    // the superseded manifest chain (metadata growth is bounded too)
+    assert(j.truncate(Map(0 -> 150L, 1 -> 150L), graceMs = 0L) === 0)
+    assert(dataFiles === 4)
+    assert(manifestFiles < manifestsBefore,
+      "superseded journal manifests must be GC'd")
     // appends continue normally (fence untouched), incl. a COLD instance
     val cold = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
     val more = changes.filter(col("offset") < 100)
