@@ -208,9 +208,13 @@ object EngineQueries {
       val lines = c.select(col("partition"), col("offset"),
         concat_ws("\t", col("op"), col("repo"), col("path"),
           coalesce(col("content"), lit("∅"))).as("line"))
+      // the full connector bucket layout: date-prefixed keys + cursor files,
+      // then the cursor-TRUSTED read (only acknowledged files), exactly what
+      // pointing the engine at a migrating user's real bucket does
       graft.sources.GzArchive.writeArchive(lines, s"$root/archive", "changes",
-        "offset", chunkThreshold = 8192, recordsPerFile = 5000)
-      val arch = graft.sources.GzArchive.read(s, s"$root/archive")
+        "offset", chunkThreshold = 8192, recordsPerFile = 5000,
+        datePrefix = "2024-06-01")
+      val arch = graft.sources.GzArchive.readCommitted(s, s"$root/archive", "changes")
       val f = split(col("value"), "\t")
       val decoded = arch.select(
         col("partition"), col("offset"),
