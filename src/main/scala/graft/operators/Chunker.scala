@@ -49,14 +49,18 @@ object Chunker {
       if (changes.columns.contains("content"))
         coalesce(octet_length(col("content")).cast("long"), lit(0L)) + 1L
       else lit(1L)
-    // integer `div`, not floor(double /): Divide coerces longs to double,
-    // which loses integer precision past 2^53 bytes of prefix sum — real at
-    // the 100 TB design point — and would misassign boundary records
+    // integer `div` (IntegralDivide), not floor(double /): Divide coerces
+    // longs to double, which loses integer precision past 2^53 bytes of
+    // prefix sum — real at the 100 TB design point — and would misassign
+    // boundary records. (Decimal division is no better: its HALF_UP-rounded
+    // quotient can cross the floor boundary for thresholds > 2e6.) Built
+    // with call_function on Column refs, not a SQL string, so a column
+    // rename fails at analysis instead of being re-parsed from text.
     changes
       .withColumn("bytes_uncompressed", recBytes)
       .withColumn("_run_bytes", sum(col("bytes_uncompressed")).over(w))
-      .withColumn("chunk_id",
-        expr(s"(_run_bytes - bytes_uncompressed) div ${thresholdBytes}L"))
+      .withColumn("chunk_id", call_function("div",
+        col("_run_bytes") - col("bytes_uncompressed"), lit(thresholdBytes)))
       .drop("_run_bytes")
   }
 
