@@ -177,9 +177,19 @@ object GzArchive {
 
     /** `record` must be the full encoded record INCLUDING its trailing
       * newline (the reference's formats emit delimiters themselves). */
-    def write(record: Array[Byte]): Unit = {
+    def write(record: Array[Byte]): Unit = writeRaw(record, 1L)
+
+    /** Bytes that count as `recordCount` records — the general form of the
+      * reference's `write(List<byte[]>, recordCount)`
+      * (BlockGZIPFileWriter.java:183-208). `recordCount = 0` is how a
+      * format TRAILER lands (S3SinkTask.java:213-215: `format.finish`
+      * bytes written through the record path, counted as zero records —
+      * they may even roll into their own trailing zero-record chunk, same
+      * as here).
+      */
+    def writeRaw(bytes: Array[Byte], recordCount: Long): Unit = {
       var ch = current
-      if (ch.rawBytes + record.length > chunkThreshold) {
+      if (ch.rawBytes + bytes.length > chunkThreshold) {
         finishChunk()
         gzipStream = new GZIPOutputStream(fileStream)
         val next = new MutChunk(ch.firstOffset + ch.numRecords)
@@ -187,9 +197,9 @@ object GzArchive {
         chunks += next
         ch = next
       }
-      gzipStream.write(record)
-      ch.rawBytes += record.length
-      ch.numRecords += 1
+      gzipStream.write(bytes)
+      ch.rawBytes += bytes.length
+      ch.numRecords += recordCount
     }
 
     private def finishChunk(): Unit = {
@@ -250,6 +260,7 @@ object GzArchive {
       recordsPerFile: Long = Long.MaxValue,
       datePrefix: String = "",
       header: Array[Byte] = Array.emptyByteArray,
+      trailer: Array[Byte] = Array.emptyByteArray,
       startOffsets: Map[Int, Long] = Map.empty): Unit = {
     require(recordsPerFile > 0, "recordsPerFile must be positive")
     val spark = df.sparkSession
@@ -275,6 +286,7 @@ object GzArchive {
       .select(col("partition"), col("_file"), col("_aoff"), col("line"))
 
     val hdr = header // avoid closing over the outer args object
+    val trlr = trailer
     val prefix = datePrefix
     val thr = chunkThreshold
     assigned
@@ -289,6 +301,7 @@ object GzArchive {
         var curFile = -1L
         var bw: BlockGzWriter = null
         def commitW(): Unit = if (bw != null) {
+          if (trlr.nonEmpty) bw.writeRaw(trlr, 0L) // format trailer, 0 records
           bw.close()
           fs.mkdirs(destDir)
           // data first, then index (readers that see an index can trust the
@@ -356,7 +369,7 @@ object GzArchive {
 
   final case class GzRecord(topic: String, partition: Int, offset: Long, value: String)
   final case class GzRecordH(topic: String, partition: Int, offset: Long,
-      value: String, header: String)
+      value: String, header: String, trailer: String)
 
   private val FileName = """(.+)-(\d{5})-(\d{12})\.index\.json""".r
   private val CursorName = """last_chunk_index\.(.+)-(\d{5})\.txt""".r
@@ -478,21 +491,34 @@ object GzArchive {
           val r = new BufferedReader(new InputStreamReader(
             new GZIPInputStream(new ByteArrayInputStream(buf)), "UTF-8"))
           val out = scala.collection.mutable.ArrayBuffer.empty[GzRecordH]
+          // lines past num_records are FORMAT TRAILER bytes, not records:
+          // the reference writes `format.finish` through the record path
+          // with recordCount 0 (S3SinkTask.java:213-215), so they share the
+          // chunk's byte space but not its record count. Decoding FEWER
+          // lines than the index declares is still loud corruption.
+          val trailerBuf = new StringBuilder
           var line = r.readLine()
           var off = t.firstRecordOffset
           while (line != null) {
-            if (off > t.minOffsetExclusive)
-              out += GzRecordH(t.topic, t.partition, off, line, header)
-            off += 1
+            if (off - t.firstRecordOffset < t.numRecords) {
+              if (off > t.minOffsetExclusive)
+                out += GzRecordH(t.topic, t.partition, off, line, header, "")
+              off += 1
+            } else trailerBuf.append(line).append('\n')
             line = r.readLine()
           }
           require(off - t.firstRecordOffset == t.numRecords,
             s"chunk ${t.file}@${t.byteOffset} decoded ${off - t.firstRecordOffset} records, " +
               s"index says ${t.numRecords}")
+          if (trailerBuf.nonEmpty && out.nonEmpty) {
+            val withTrailer = out.map(_.copy(trailer = trailerBuf.toString))
+            out.clear()
+            out ++= withTrailer
+          }
           out
         }
       }
-    if (withHeader) ds.toDF() else ds.drop("header")
+    if (withHeader) ds.toDF() else ds.drop("header", "trailer")
   }
 
   /** full archive scan (still chunk-parallel) */

@@ -300,6 +300,36 @@ class GzArchiveSpec extends AnyFunSuite {
     assert(withH.forall(_.getString(4) === "format=text v1\n"))
   }
 
+  test("format trailer bytes round-trip without surfacing as records") {
+    import spark.implicits._
+    // the reference writes `format.finish` through the record path with
+    // recordCount 0 (S3SinkTask.java:213-215): trailer bytes share the last
+    // chunk's byte space but not its record count
+    val root = SparkTestSession.tempDir("gztrailer")
+    val df = (0 until 30).map(i => (0, i.toLong, s"rec $i")).toDF("partition", "k", "line")
+    GzArchive.writeArchive(df, root, "t", "k", chunkThreshold = 64,
+      recordsPerFile = 10, trailer = "TRAILER v1\n".getBytes("UTF-8"))
+    val back = GzArchive.read(spark, root).orderBy("offset").collect()
+    assert(back.length === 30, "trailer must not surface as records")
+    assert(back.map(_.getString(3)).toSeq === (0 until 30).map(i => s"rec $i"))
+    // the trailer is exposed on the rows of the chunk that carries it
+    val trailers = GzArchive.readWithHeader(spark, root).collect()
+      .map(_.getString(5)).toSet
+    assert(trailers === Set("", "TRAILER v1\n"))
+
+    // an oversized trailer rolls into its own ZERO-RECORD chunk (same as
+    // the reference's rollover arithmetic) and still never surfaces
+    val root2 = new Path(SparkTestSession.tempDir("gztrailer2"))
+    val w = new GzArchive.BlockGzWriter(localFs, root2, "t-00000",
+      firstRecordOffset = 0L, chunkThreshold = 20L)
+    (0 until 3).foreach(i => w.write(s"record $i\n".getBytes("UTF-8")))
+    w.writeRaw("A TRAILER LONGER THAN THE THRESHOLD\n".getBytes("UTF-8"), 0L)
+    w.close()
+    assert(w.index.chunks.last.numRecords === 0L, "trailer-only chunk")
+    val back2 = GzArchive.read(spark, root2.toString).orderBy("offset").collect()
+    assert(back2.map(_.getString(3)).toSeq === (0 until 3).map(i => s"record $i"))
+  }
+
   test("reads a reference-written header file (chunk-0 offset off by 10)") {
     import spark.implicits._
     // Emulate BlockGZIPFileWriter.java:147-149: data bytes identical to
