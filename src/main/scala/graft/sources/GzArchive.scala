@@ -401,10 +401,40 @@ object GzArchive {
     }
   }
 
-  /** driver-side index parse → chunk task rows (metadata-scale) */
+  /** driver-side index parse → chunk task rows (metadata-scale). Index
+    * fetches fan out on a bounded pool: a 100 TB archive has thousands of
+    * index files, and on an object store each is a small GET — serial
+    * driver reads would be the listing's bottleneck (the same pattern as
+    * the lake's sharded-checkpoint cold resolution). Order is restored
+    * from the listing sequence, so the result stays deterministic.
+    */
   private def listTasks(spark: SparkSession, root: String): Seq[ChunkTask] = {
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    listIndexFiles(fs, new Path(root)).flatMap(f => tasksOf(fs, root, f))
+    fetchTasks(fs, root, listIndexFiles(fs, new Path(root)))
+  }
+
+  private lazy val ioPool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-gzarchive-io-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  private def fetchTasks(fs: FileSystem, root: String,
+      files: Seq[IndexFile]): Seq[ChunkTask] = {
+    val futs = files.map { f =>
+      ioPool.submit(new java.util.concurrent.Callable[Seq[ChunkTask]] {
+        def call(): Seq[ChunkTask] = tasksOf(fs, root, f)
+      })
+    }
+    futs.flatMap { fu =>
+      try fu.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    }
   }
 
   private def tasksOf(fs: FileSystem, root: String, f: IndexFile): Seq[ChunkTask] = {
@@ -596,11 +626,10 @@ object GzArchive {
           case _ => None
         }
       }.toMap
-    val tasks = listIndexFiles(fs, rootPath)
+    val acked = listIndexFiles(fs, rootPath)
       .filter(f => f.topic == topic &&
         ackFirstOffset.get(f.partition).exists(f.firstOffset <= _))
-      .flatMap(f => tasksOf(fs, root, f))
-    readTasks(spark, tasks)
+    readTasks(spark, fetchTasks(fs, root, acked))
   }
 
   private def readSmall(fs: FileSystem, p: Path): String = {

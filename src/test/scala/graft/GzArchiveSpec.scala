@@ -380,6 +380,43 @@ class GzArchiveSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("2 GiB")))
   }
 
+  test("property: distributed roundtrip across sizes, thresholds, file rolls") {
+    // ScalaCheck over the whole write→read cycle: arbitrary record counts,
+    // chunk thresholds and file-roll sizes must reproduce the input exactly
+    // with dense per-partition offsets — the distributed-level analogue of
+    // the ported BlockGZIPFileWriterTest tiling invariants
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val gen = for {
+      n <- Gen.choose(1, 150)
+      parts <- Gen.choose(1, 3)
+      threshold <- Gen.choose(32L, 2048L)
+      perFile <- Gen.oneOf(Gen.choose(7L, 60L), Gen.const(Long.MaxValue))
+    } yield (n, parts, threshold, perFile)
+    var i = 0
+    val prop = Prop.forAllNoShrink(gen) { case (n, parts, threshold, perFile) =>
+      i += 1
+      val root = SparkTestSession.tempDir(s"gzprop$i")
+      val df = (0 until parts).flatMap { p =>
+        (0 until n).map(r => (p, r.toLong, s"p$p r$r " + ("y" * (r % 23))))
+      }.toDF("partition", "k", "line")
+      GzArchive.writeArchive(df, root, "t", "k",
+        chunkThreshold = threshold, recordsPerFile = perFile)
+      val back = GzArchive.read(spark, root)
+        .orderBy("partition", "offset").collect()
+      back.length == parts * n &&
+        back.zipWithIndex.forall { case (row, idx) =>
+          val (p, off) = (idx / n, idx % n)
+          row.getInt(1) == p && row.getLong(2) == off.toLong &&
+            row.getString(3) == s"p$p r$off " + ("y" * (off % 23))
+        } &&
+        GzArchive.fetchOffsets(spark, root, "t") ==
+          (0 until parts).map(_ -> n.toLong).toMap
+    }
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(5), prop)
+    assert(res.passed, res.status.toString)
+  }
+
   test("executor tasks see the session's Hadoop configuration") {
     // the regression this guards: executor-side `new Configuration()` drops
     // session settings (S3A credentials, endpoints) — archive tasks must
