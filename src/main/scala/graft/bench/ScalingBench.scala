@@ -113,12 +113,19 @@ object ScalingBench {
       s"-Xmx$heap", "-Dspark.ui.enabled=false",
       "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
       Seq("graft.bench.ScalingBench") ++ modeArgs
+    // both streams to files, read after exit: reading stdout to EOF before
+    // touching stderr would deadlock if the child fills the ~64KB stderr
+    // pipe (Spark task-failure stack traces easily do)
+    val outF = _root_.java.io.File.createTempFile("graft-scaling-out", ".log")
+    val errF = _root_.java.io.File.createTempFile("graft-scaling-err", ".log")
     val pb = new ProcessBuilder(cmd: _*)
-    pb.redirectErrorStream(false)
+    pb.redirectOutput(outF)
+    pb.redirectError(errF)
     val proc = pb.start()
-    val out = new String(proc.getInputStream.readAllBytes())
-    val err = new String(proc.getErrorStream.readAllBytes())
     val code = proc.waitFor()
+    val out = _root_.java.nio.file.Files.readString(outF.toPath)
+    val err = _root_.java.nio.file.Files.readString(errF.toPath)
+    outF.delete(); errF.delete()
     val line = out.linesIterator.find(_.startsWith("SINGLE_RESULT"))
     require(code == 0 && line.isDefined,
       s"child JVM failed (exit $code): ${err.takeRight(2000)}")

@@ -290,10 +290,13 @@ final class ChangeJournal(
         .exists(w => f.get("max_offset").asLong <= w)
     }
     if (dead.nonEmpty) {
-      val supersededManifests = (0L until (io.readSnapshot()
-        .map(_.get("version").asLong + 1).getOrElse(0L)))
-        .map(v => f"manifest-$v%012d.json")
-        .filter(rel => io.fs.exists(new Path(io.rootPath, rel)))
+      // one root listing, not one exists() probe per historical version —
+      // versions are monotone and unbounded, and most were already reaped
+      val cur = io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
+      val supersededManifests = io.fs.listStatus(io.rootPath).toSeq
+        .map(_.getPath.getName)
+        .filter(_.matches("""manifest-\d{12}\.json"""))
+        .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong <= cur)
       commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
         replaceWith = Some(kept))
       pendingAdd(dead.map(_.get("path").asText) ++ supersededManifests)

@@ -43,22 +43,6 @@ import scala.jdk.CollectionConverters._
   * ONE partition for its lifetime. MERGE dedups within (partition, bucket);
   * a key that migrated partitions would leave a stale live row behind.
   */
-object LakeTable {
-  /** Shared bounded pool for driver-side metadata fan-out (shard fetches).
-    * Daemon threads so an idle driver JVM can still exit.
-    */
-  private[lake] lazy val ioPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(8,
-      new java.util.concurrent.ThreadFactory {
-        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-        def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, s"graft-lake-io-${n.incrementAndGet()}")
-          t.setDaemon(true)
-          t
-        }
-      })
-}
-
 final class LakeTable(
     val root: String,
     spark: SparkSession,
@@ -177,24 +161,14 @@ final class LakeTable(
     else {
       // cold resolution reads one JSON per shard — on an object store that
       // is thousands of small GETs at scale, so fetch on the shared bounded
-      // pool (order restored by the sorted key sequence, so the result is
-      // deterministic). Shared, not per-call: cold resolution recurs on
-      // every reader and cache miss; merge's promote path keeps its own
-      // per-batch pool because its error handling needs shutdownNow
-      // semantics a shared pool cannot offer.
+      // pool (MetaIO; order restored by the sorted key sequence, so the
+      // result is deterministic). Shared, not per-call: cold resolution
+      // recurs on every reader and cache miss; merge's promote path keeps
+      // its own per-batch pool because its error handling needs
+      // shutdownNow semantics a shared pool cannot offer.
       val keys = m.get("shards").fields().asScala.toSeq.sortBy(_.getKey)
-      val futs = keys.map { e =>
-        LakeTable.ioPool.submit(new java.util.concurrent.Callable[Seq[FileEntry]] {
-          def call(): Seq[FileEntry] = entriesOf(Json.parse(
-            io.readString(new Path(io.rootPath, e.getValue.asText))))
-        })
-      }
-      futs.flatMap { f =>
-        try f.get()
-        catch {
-          case e: java.util.concurrent.ExecutionException => throw e.getCause
-        }
-      }
+      MetaIO.fetchAll(keys)(e => entriesOf(Json.parse(
+        io.readString(new Path(io.rootPath, e.getValue.asText))))).flatten
     }
 
   /** shard key "p-g" → shard path, from a checkpoint manifest */

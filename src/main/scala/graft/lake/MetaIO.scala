@@ -1,0 +1,31 @@
+package graft.lake
+
+/** Shared bounded pool for driver-side metadata fan-out (sharded-checkpoint
+  * resolution, archive index listings): on an object store each item is a
+  * small GET, and serial driver reads would bottleneck the listing. One
+  * daemon pool for the JVM — not per call site — with the
+  * ExecutionException-unwrapping fetch loop in one place. Result order
+  * follows input order, so callers stay deterministic.
+  */
+object MetaIO {
+  lazy val pool: java.util.concurrent.ExecutorService =
+    java.util.concurrent.Executors.newFixedThreadPool(8,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"graft-meta-io-${n.incrementAndGet()}")
+          t.setDaemon(true)
+          t
+        }
+      })
+
+  def fetchAll[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    val futs = items.map { a =>
+      pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+    }
+    futs.map { fu =>
+      try fu.get()
+      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    }
+  }
+}

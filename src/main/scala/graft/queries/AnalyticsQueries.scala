@@ -38,10 +38,16 @@ object AnalyticsQueries {
     */
   private def micro(c: org.apache.spark.sql.Column) = {
     val d = c.cast("decimal(25,6)")
-    when(c.isNull || d.cast("double") === c, (d * lit(1000000)).cast("long"))
+    // `d.isNotNull` distinguishes overflow (cast yields null) and NaN from
+    // the rounding case, so neither slips through as a null-comparison and
+    // the error message owns all three
+    when(c.isNull || (d.isNotNull && d.cast("double") === c),
+        (d * lit(1000000)).cast("long"))
       .otherwise(raise_error(concat(
-        lit("micro(): value needs rounding past 6 decimal places "),
-        lit("(engines may round differently): "), c.cast("string"))))
+        lit("micro(): value not exactly representable as decimal(25,6) "),
+        lit("micro-units (rounds past 6 decimal places — engines may round "),
+        lit("differently —, overflows 19 integer digits, or is not finite): "),
+        c.cast("string"))))
   }
 
   /** the matching DuckDB expression (kept textually adjacent so the two

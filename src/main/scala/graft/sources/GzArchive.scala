@@ -138,7 +138,7 @@ object GzArchive {
       fs: FileSystem,
       dir: Path,
       filenameBase: String,
-      firstRecordOffset: Long = 0L,
+      val firstRecordOffset: Long = 0L,
       chunkThreshold: Long = 64L * 1024 * 1024,
       header: Array[Byte] = Array.emptyByteArray) {
 
@@ -289,6 +289,14 @@ object GzArchive {
     val trlr = trailer
     val prefix = datePrefix
     val thr = chunkThreshold
+    // tasks report the files they published; the driver acknowledges ONLY
+    // those (never a bucket listing — a listing would also pick up ORPHANS
+    // from previously crashed writers and acknowledge them via the cursor,
+    // exactly the files the publish protocol exists to exclude). Task
+    // retries may report duplicates; entries are value-identical, distinct
+    // dedups.
+    val written = spark.sparkContext
+      .collectionAccumulator[(Int, Long, String)]("gzarchive-written")
     assigned
       .repartition(col("partition"), col("_file"))
       .sortWithinPartitions(col("partition"), col("_file"), col("_aoff"))
@@ -305,13 +313,27 @@ object GzArchive {
           bw.close()
           fs.mkdirs(destDir)
           // data first, then index (readers that see an index can trust the
-          // data is already in place — the reference's upload order)
+          // data is already in place — the reference's upload order).
+          // Zombie-attempt safety: an attempt whose temp is gone (the driver
+          // reclaims .inprogress after job success) must not touch the
+          // published destination; and a failed rename with the destination
+          // present means a racing attempt won with identical bytes
+          // (deterministic input), which is success. The residual window is
+          // closed by the driver-side reconciliation below: every
+          // acknowledged file is existence-checked before any cursor moves,
+          // so a lost race surfaces loudly, never as silent data loss.
           Seq(bw.dataFileName, bw.indexFileName).foreach { name =>
+            val tmp = new Path(tmpDir, name)
             val dst = new Path(destDir, name)
-            fs.delete(dst, false)
-            if (!fs.rename(new Path(tmpDir, name), dst))
-              throw new java.io.IOException(s"archive commit rename to $dst failed")
+            if (fs.exists(tmp)) {
+              fs.delete(dst, false)
+              if (!fs.rename(tmp, dst) && !fs.exists(dst))
+                throw new java.io.IOException(s"archive commit rename to $dst failed")
+            } else require(fs.exists(dst),
+              s"attempt preempted but $dst not published by any other attempt")
           }
+          val rel = if (prefix.isEmpty) bw.indexFileName else s"$prefix/${bw.indexFileName}"
+          written.add((curPart, bw.firstRecordOffset, rel))
           bw = null
         }
         var any = false
@@ -334,19 +356,29 @@ object GzArchive {
         if (any) fs.delete(tmpDir, true): Unit
       }
 
-    // publish cursors (driver side, after every file landed): newest index
-    // key per partition, at the archive root. Listing is metadata-scale.
+    // Driver-side publish: reconcile, then move cursors. Every reported
+    // file must exist (turns any residual task-commit race into a loud
+    // failure instead of a cursor acknowledging a vanished file); the
+    // cursor per partition advances to THIS JOB's newest index key —
+    // partitions this job did not write keep their existing cursors, and
+    // pre-existing orphans stay unacknowledged.
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(root, ".inprogress"), true)
-    listIndexFiles(fs, new Path(root))
-      .filter(_.topic == topic)
-      .groupBy(_.partition)
-      .foreach { case (p, files) =>
-        val latest = files.maxBy(_.firstOffset)
-        val out = fs.create(new Path(root, cursorFileName(topic, p)), true)
-        out.write(latest.rel.getBytes("UTF-8"))
-        out.close()
-      }
+    import scala.jdk.CollectionConverters._
+    val acks = written.value.asScala.toSeq.distinct
+    acks.foreach { case (_, _, idxRel) =>
+      val dataRel = idxRel.stripSuffix(".index.json") + ".gz"
+      Seq(idxRel, dataRel).foreach(rel =>
+        require(fs.exists(new Path(root, rel)),
+          s"published archive file $rel is missing at job end — task-commit " +
+            "race or concurrent deletion; cursors not moved"))
+    }
+    acks.groupBy(_._1).foreach { case (p, files) =>
+      val latest = files.maxBy(_._2)._3
+      val out = fs.create(new Path(root, cursorFileName(topic, p)), true)
+      out.write(latest.getBytes("UTF-8"))
+      out.close()
+    }
   }
 
   // ----------------------------------------------------------------- read
@@ -369,7 +401,12 @@ object GzArchive {
 
   final case class GzRecord(topic: String, partition: Int, offset: Long, value: String)
   final case class GzRecordH(topic: String, partition: Int, offset: Long,
-      value: String, header: String, trailer: String)
+      value: String, header: String)
+  /** per-FILE format metadata: header and trailer are init/finish hooks of
+    * the file's format (S3RecordsWriter.java:16-31), not record properties
+    */
+  final case class FileMeta(file: String, topic: String, partition: Int,
+      firstRecordOffset: Long, numRecords: Long, header: String, trailer: String)
 
   private val FileName = """(.+)-(\d{5})-(\d{12})\.index\.json""".r
   private val CursorName = """last_chunk_index\.(.+)-(\d{5})\.txt""".r
@@ -413,29 +450,9 @@ object GzArchive {
     fetchTasks(fs, root, listIndexFiles(fs, new Path(root)))
   }
 
-  private lazy val ioPool: java.util.concurrent.ExecutorService =
-    java.util.concurrent.Executors.newFixedThreadPool(8,
-      new java.util.concurrent.ThreadFactory {
-        private val n = new java.util.concurrent.atomic.AtomicInteger(0)
-        def newThread(r: Runnable): Thread = {
-          val t = new Thread(r, s"graft-gzarchive-io-${n.incrementAndGet()}")
-          t.setDaemon(true)
-          t
-        }
-      })
-
   private def fetchTasks(fs: FileSystem, root: String,
-      files: Seq[IndexFile]): Seq[ChunkTask] = {
-    val futs = files.map { f =>
-      ioPool.submit(new java.util.concurrent.Callable[Seq[ChunkTask]] {
-        def call(): Seq[ChunkTask] = tasksOf(fs, root, f)
-      })
-    }
-    futs.flatMap { fu =>
-      try fu.get()
-      catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
-    }
-  }
+      files: Seq[IndexFile]): Seq[ChunkTask] =
+    graft.lake.MetaIO.fetchAll(files)(f => tasksOf(fs, root, f)).flatten
 
   private def tasksOf(fs: FileSystem, root: String, f: IndexFile): Seq[ChunkTask] = {
     val len = f.status.getLen
@@ -472,6 +489,36 @@ object GzArchive {
     out.toByteArray
   }
 
+  /** ranged read with the 2 GiB buffer guard */
+  private def rangedRead(fs: FileSystem, file: String, off: Long, len: Long): Array[Byte] = {
+    require(len <= Int.MaxValue,
+      s"chunk $file@$off is ${len}B compressed — past the 2 GiB buffer " +
+        "bound; re-archive with a smaller chunkThreshold (a single " +
+        "record larger than 2 GiB compressed cannot be ranged-read)")
+    val in = fs.open(new Path(file))
+    val buf = new Array[Byte](len.toInt)
+    in.readFully(off, buf)
+    in.close()
+    buf
+  }
+
+  /** Read one chunk's compressed bytes, correcting reference-written
+    * header-bearing files: BlockGZIPFileWriter records chunk 0's
+    * byte_offset AFTER opening the next gzip member — 10 bytes (one member
+    * header) inside it (BlockGZIPFileWriter.java:147-149) — and byte_length
+    * correspondingly 10 short. Later chunks derive arithmetically and stay
+    * correct. A range that does not start with the gzip magic is re-read
+    * 10 bytes earlier and re-checked.
+    */
+  private def chunkBytes(fs: FileSystem, file: String, off: Long, len: Long): Array[Byte] = {
+    var buf = rangedRead(fs, file, off, len)
+    if (!gzipMagic(buf) && off >= 10)
+      buf = rangedRead(fs, file, off - 10, len + 10)
+    require(gzipMagic(buf) || buf.isEmpty,
+      s"chunk $file@$off does not start a gzip member (corrupt index or data)")
+    buf
+  }
+
   private def readTasks(spark: SparkSession, tasks: Seq[ChunkTask],
       withHeader: Boolean = false): DataFrame = {
     import spark.implicits._
@@ -483,72 +530,44 @@ object GzArchive {
         // per-task ranged read: seek to the member, read EXACTLY byteLength
         // bytes, decompress just that member — never the whole file
         var fs: FileSystem = null
-        def ranged(file: String, off: Long, len: Long): Array[Byte] = {
-          require(len <= Int.MaxValue,
-            s"chunk $file@$off is ${len}B compressed — past the 2 GiB buffer " +
-              "bound; re-archive with a smaller chunkThreshold (a single " +
-              "record larger than 2 GiB compressed cannot be ranged-read)")
-          val in = fs.open(new Path(file))
-          val buf = new Array[Byte](len.toInt)
-          in.readFully(off, buf)
-          in.close()
-          buf
-        }
+        // headers are per FILE but tasks are per CHUNK: memoize the decoded
+        // header per file within the task partition, or a thousand-chunk
+        // file would re-GET and re-gunzip its header a thousand times
+        val headerCache = scala.collection.mutable.HashMap.empty[String, String]
         it.flatMap { t =>
           if (fs == null)
             fs = new Path(t.file).getFileSystem(conf.value.value)
-          var off0 = t.byteOffset
-          var len0 = t.byteLength
-          var buf = ranged(t.file, off0, len0)
-          if (!gzipMagic(buf) && off0 >= 10) {
-            // Reference-written header-bearing file: BlockGZIPFileWriter
-            // records chunk 0's byte_offset AFTER opening the next gzip
-            // member — 10 bytes (one member header) inside it
-            // (BlockGZIPFileWriter.java:147-149) — and byte_length
-            // correspondingly 10 short. Later chunks derive arithmetically
-            // and stay correct. Correct the one misaligned chunk by the
-            // member-header width and re-check the magic.
-            off0 -= 10; len0 += 10
-            buf = ranged(t.file, off0, len0)
-          }
-          require(gzipMagic(buf) || buf.isEmpty,
-            s"chunk ${t.file}@${t.byteOffset} does not start a gzip member " +
-              "(corrupt index or data)")
+          val buf = chunkBytes(fs, t.file, t.byteOffset, t.byteLength)
           val header =
             if (!withHeader || t.headerLen == 0) ""
-            else new String(gunzipTolerant(
-              ranged(t.file, 0L, t.headerLen)), "UTF-8")
+            else headerCache.getOrElseUpdate(t.file, new String(gunzipTolerant(
+              rangedRead(fs, t.file, 0L, t.headerLen)), "UTF-8"))
           val r = new BufferedReader(new InputStreamReader(
             new GZIPInputStream(new ByteArrayInputStream(buf)), "UTF-8"))
           val out = scala.collection.mutable.ArrayBuffer.empty[GzRecordH]
           // lines past num_records are FORMAT TRAILER bytes, not records:
           // the reference writes `format.finish` through the record path
           // with recordCount 0 (S3SinkTask.java:213-215), so they share the
-          // chunk's byte space but not its record count. Decoding FEWER
+          // chunk's byte space but not its record count — they are skipped
+          // here and surfaced per file by [[fileMeta]]. Decoding FEWER
           // lines than the index declares is still loud corruption.
-          val trailerBuf = new StringBuilder
           var line = r.readLine()
           var off = t.firstRecordOffset
           while (line != null) {
             if (off - t.firstRecordOffset < t.numRecords) {
               if (off > t.minOffsetExclusive)
-                out += GzRecordH(t.topic, t.partition, off, line, header, "")
+                out += GzRecordH(t.topic, t.partition, off, line, header)
               off += 1
-            } else trailerBuf.append(line).append('\n')
+            }
             line = r.readLine()
           }
           require(off - t.firstRecordOffset == t.numRecords,
             s"chunk ${t.file}@${t.byteOffset} decoded ${off - t.firstRecordOffset} records, " +
               s"index says ${t.numRecords}")
-          if (trailerBuf.nonEmpty && out.nonEmpty) {
-            val withTrailer = out.map(_.copy(trailer = trailerBuf.toString))
-            out.clear()
-            out ++= withTrailer
-          }
           out
         }
       }
-    if (withHeader) ds.toDF() else ds.drop("header", "trailer")
+    if (withHeader) ds.toDF() else ds.drop("header")
   }
 
   /** full archive scan (still chunk-parallel) */
@@ -562,6 +581,55 @@ object GzArchive {
     */
   def readWithHeader(spark: SparkSession, root: String): DataFrame =
     readTasks(spark, listTasks(spark, root), withHeader = true)
+
+  final case class FileMetaTask( // public: Dataset encoder codegen needs access
+      file: String, topic: String, partition: Int, firstRecordOffset: Long,
+      headerLen: Long, lastByteOffset: Long, lastByteLength: Long,
+      lastNumRecords: Long, totalRecords: Long)
+
+  /** Per-FILE format metadata: decoded header member and trailer bytes
+    * (the init/finish hooks, S3RecordsWriter.java:16-31). One task per
+    * file, touching only the header member and the LAST chunk — this is
+    * where a trailer lives even when it rolled into its own zero-record
+    * trailing chunk, which per-record reads can never surface.
+    */
+  def fileMeta(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val metas = graft.lake.MetaIO.fetchAll(listIndexFiles(fs, new Path(root))) { f =>
+      val ts = tasksOf(fs, root, f)
+      val last = ts.maxBy(_.byteOffset)
+      FileMetaTask(last.file, f.topic, f.partition, f.firstOffset,
+        last.headerLen, last.byteOffset, last.byteLength, last.numRecords,
+        ts.map(_.numRecords).sum)
+    }
+    val conf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val n = math.max(1, math.min(metas.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(metas).repartition(n).mapPartitions { it =>
+      var fsx: FileSystem = null
+      it.map { m =>
+        if (fsx == null) fsx = new Path(m.file).getFileSystem(conf.value.value)
+        val header =
+          if (m.headerLen == 0) ""
+          else new String(gunzipTolerant(
+            rangedRead(fsx, m.file, 0L, m.headerLen)), "UTF-8")
+        val r = new BufferedReader(new InputStreamReader(
+          new GZIPInputStream(new ByteArrayInputStream(
+            chunkBytes(fsx, m.file, m.lastByteOffset, m.lastByteLength))), "UTF-8"))
+        val trailer = new StringBuilder
+        var i = 0L
+        var line = r.readLine()
+        while (line != null) {
+          if (i >= m.lastNumRecords) trailer.append(line).append('\n')
+          i += 1
+          line = r.readLine()
+        }
+        FileMeta(m.file, m.topic, m.partition, m.firstRecordOffset,
+          m.totalRecords, header, trailer.toString)
+      }
+    }.toDF()
+  }
 
   /** Resume past per-partition committed offsets: whole chunks at or below
     * the floor are PRUNED on the driver from the index alone (never opened

@@ -312,13 +312,16 @@ class GzArchiveSpec extends AnyFunSuite {
     val back = GzArchive.read(spark, root).orderBy("offset").collect()
     assert(back.length === 30, "trailer must not surface as records")
     assert(back.map(_.getString(3)).toSeq === (0 until 30).map(i => s"rec $i"))
-    // the trailer is exposed on the rows of the chunk that carries it
-    val trailers = GzArchive.readWithHeader(spark, root).collect()
-      .map(_.getString(5)).toSet
-    assert(trailers === Set("", "TRAILER v1\n"))
+    // trailer is FILE metadata (the finish hook), surfaced by fileMeta
+    val meta = GzArchive.fileMeta(spark, root).collect()
+    assert(meta.length === 3) // 30 records / 10 per file
+    assert(meta.forall(_.getString(6) === "TRAILER v1\n"))
+    assert(meta.forall(_.getString(5) === "")) // no header in this archive
 
     // an oversized trailer rolls into its own ZERO-RECORD chunk (same as
-    // the reference's rollover arithmetic) and still never surfaces
+    // the reference's rollover arithmetic), never surfaces as records, and
+    // fileMeta still recovers it — per-record reads cannot (no row exists
+    // in a zero-record chunk to carry it)
     val root2 = new Path(SparkTestSession.tempDir("gztrailer2"))
     val w = new GzArchive.BlockGzWriter(localFs, root2, "t-00000",
       firstRecordOffset = 0L, chunkThreshold = 20L)
@@ -328,6 +331,9 @@ class GzArchiveSpec extends AnyFunSuite {
     assert(w.index.chunks.last.numRecords === 0L, "trailer-only chunk")
     val back2 = GzArchive.read(spark, root2.toString).orderBy("offset").collect()
     assert(back2.map(_.getString(3)).toSeq === (0 until 3).map(i => s"record $i"))
+    val meta2 = GzArchive.fileMeta(spark, root2.toString).collect()
+    assert(meta2.length === 1)
+    assert(meta2.head.getString(6) === "A TRAILER LONGER THAN THE THRESHOLD\n")
   }
 
   test("reads a reference-written header file (chunk-0 offset off by 10)") {
