@@ -295,7 +295,7 @@ final class ChangeJournal(
       val cur = io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
       val supersededManifests = io.fs.listStatus(io.rootPath).toSeq
         .map(_.getPath.getName)
-        .filter(_.matches("""manifest-\d{12}\.json"""))
+        .filter(_.matches("""manifest-\d{12,}\.json""")) // %012d grows past 12 digits
         .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong <= cur)
       commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
         replaceWith = Some(kept))

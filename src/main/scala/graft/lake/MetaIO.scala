@@ -23,9 +23,16 @@ object MetaIO {
     val futs = items.map { a =>
       pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
     }
-    futs.map { fu =>
+    try futs.map { fu =>
       try fu.get()
       catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
+    } catch {
+      case t: Throwable =>
+        // cancel the queued remainder: a 5000-item fan-out that fails on
+        // item 3 must not keep burning the SHARED pool (and starving other
+        // subsystems) on thousands of doomed GETs
+        futs.foreach(_.cancel(true))
+        throw t
     }
   }
 }

@@ -38,15 +38,17 @@ object AnalyticsQueries {
     */
   private def micro(c: org.apache.spark.sql.Column) = {
     val d = c.cast("decimal(25,6)")
-    // `d.isNotNull` distinguishes overflow (cast yields null) and NaN from
-    // the rounding case, so neither slips through as a null-comparison and
-    // the error message owns all three
-    when(c.isNull || (d.isNotNull && d.cast("double") === c),
+    // `d.isNotNull` distinguishes decimal overflow (cast yields null) and
+    // NaN from the rounding case; the magnitude bound catches the band
+    // where the decimal fits but ×1e6 overflows Long (whose cast yields a
+    // silent null under non-ANSI semantics) — all three fail loudly
+    when(c.isNull ||
+        (d.isNotNull && d.cast("double") === c && abs(c) < lit(9.2233e12)),
         (d * lit(1000000)).cast("long"))
       .otherwise(raise_error(concat(
-        lit("micro(): value not exactly representable as decimal(25,6) "),
-        lit("micro-units (rounds past 6 decimal places — engines may round "),
-        lit("differently —, overflows 19 integer digits, or is not finite): "),
+        lit("micro(): value not exactly representable as micro-unit int64 "),
+        lit("(rounds past 6 decimal places — engines may round differently "),
+        lit("— overflows the Long micro range, or is not finite): "),
         c.cast("string"))))
   }
 

@@ -287,56 +287,37 @@ object GzArchive {
 
     val hdr = header // avoid closing over the outer args object
     val trlr = trailer
-    val prefix = datePrefix
     val thr = chunkThreshold
-    // tasks report the files they published; the driver acknowledges ONLY
-    // those (never a bucket listing — a listing would also pick up ORPHANS
-    // from previously crashed writers and acknowledge them via the cursor,
-    // exactly the files the publish protocol exists to exclude). Task
-    // retries may report duplicates; entries are value-identical, distinct
-    // dedups.
+    // JOB-COMMIT PROTOCOL (the FileOutputCommitter shape): tasks write ONLY
+    // inside their own attempt directory under a job-unique staging area
+    // and never touch published paths, so a zombie or speculative attempt —
+    // even one that wakes up after the job finished — cannot delete or
+    // clobber a published file. The DRIVER publishes after job success:
+    // rename one surviving attempt's files into place (any attempt — bytes
+    // are deterministic), then move cursors. Tasks report what they wrote
+    // via an accumulator; the driver acknowledges ONLY those files (never a
+    // bucket listing — a listing would also acknowledge ORPHANS from
+    // previously crashed writers, exactly the files the cursor protocol
+    // exists to exclude).
+    val jobTag = java.util.UUID.randomUUID().toString
     val written = spark.sparkContext
-      .collectionAccumulator[(Int, Long, String)]("gzarchive-written")
+      .collectionAccumulator[(Int, Long, Long)]("gzarchive-written")
     assigned
       .repartition(col("partition"), col("_file"))
       .sortWithinPartitions(col("partition"), col("_file"), col("_aoff"))
       .foreachPartition { rows: Iterator[Row] =>
         val fs = new Path(root).getFileSystem(conf.value.value)
-        val destDir = if (prefix.isEmpty) new Path(root) else new Path(root, prefix)
         val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
-        val tmpDir = new Path(root, s".inprogress/attempt-$attempt")
+        val tmpDir = new Path(root, s".inprogress/job-$jobTag/attempt-$attempt")
         var curPart = -1
         var curFile = -1L
         var bw: BlockGzWriter = null
         def commitW(): Unit = if (bw != null) {
           if (trlr.nonEmpty) bw.writeRaw(trlr, 0L) // format trailer, 0 records
-          bw.close()
-          fs.mkdirs(destDir)
-          // data first, then index (readers that see an index can trust the
-          // data is already in place — the reference's upload order).
-          // Zombie-attempt safety: an attempt whose temp is gone (the driver
-          // reclaims .inprogress after job success) must not touch the
-          // published destination; and a failed rename with the destination
-          // present means a racing attempt won with identical bytes
-          // (deterministic input), which is success. The residual window is
-          // closed by the driver-side reconciliation below: every
-          // acknowledged file is existence-checked before any cursor moves,
-          // so a lost race surfaces loudly, never as silent data loss.
-          Seq(bw.dataFileName, bw.indexFileName).foreach { name =>
-            val tmp = new Path(tmpDir, name)
-            val dst = new Path(destDir, name)
-            if (fs.exists(tmp)) {
-              fs.delete(dst, false)
-              if (!fs.rename(tmp, dst) && !fs.exists(dst))
-                throw new java.io.IOException(s"archive commit rename to $dst failed")
-            } else require(fs.exists(dst),
-              s"attempt preempted but $dst not published by any other attempt")
-          }
-          val rel = if (prefix.isEmpty) bw.indexFileName else s"$prefix/${bw.indexFileName}"
-          written.add((curPart, bw.firstRecordOffset, rel))
+          bw.close() // data then index, inside the attempt dir only
+          written.add((curPart, bw.firstRecordOffset, attempt))
           bw = null
         }
-        var any = false
         rows.foreach { r =>
           val p = r.getInt(0)
           val file = r.getLong(1)
@@ -350,35 +331,52 @@ object GzArchive {
             bw = new BlockGzWriter(fs, tmpDir, f"$topic-$p%05d", aoff, thr, hdr)
           }
           bw.write((r.getString(3) + "\n").getBytes("UTF-8"))
-          any = true
         }
         commitW()
-        if (any) fs.delete(tmpDir, true): Unit
       }
 
-    // Driver-side publish: reconcile, then move cursors. Every reported
-    // file must exist (turns any residual task-commit race into a loud
-    // failure instead of a cursor acknowledging a vanished file); the
-    // cursor per partition advances to THIS JOB's newest index key —
-    // partitions this job did not write keep their existing cursors, and
-    // pre-existing orphans stay unacknowledged.
+    // Driver-side job commit: publish exactly one attempt per file (data
+    // first, then index — the reference's upload order), fanned out on the
+    // metadata pool, then advance cursors atomically. Partitions this job
+    // did not write keep their existing cursors, and pre-existing orphans
+    // stay unacknowledged.
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(root, ".inprogress"), true)
+    val destDir = if (datePrefix.isEmpty) new Path(root) else new Path(root, datePrefix)
     import scala.jdk.CollectionConverters._
-    val acks = written.value.asScala.toSeq.distinct
-    acks.foreach { case (_, _, idxRel) =>
-      val dataRel = idxRel.stripSuffix(".index.json") + ".gz"
-      Seq(idxRel, dataRel).foreach(rel =>
-        require(fs.exists(new Path(root, rel)),
-          s"published archive file $rel is missing at job end — task-commit " +
-            "race or concurrent deletion; cursors not moved"))
+    val acks = written.value.asScala.toSeq
+      .groupBy(t => (t._1, t._2)) // a retried task reports twice; pick one
+      .map { case ((p, first), reports) => (p, first, reports.map(_._3).max) }
+      .toSeq.sortBy(t => (t._1, t._2))
+    if (acks.nonEmpty) fs.mkdirs(destDir)
+    graft.lake.MetaIO.fetchAll(acks) { case (p, first, attempt) =>
+      val attemptDir = new Path(root, s".inprogress/job-$jobTag/attempt-$attempt")
+      Seq(f"$topic-$p%05d-$first%012d.gz", f"$topic-$p%05d-$first%012d.index.json")
+        .foreach { name =>
+          val tmp = new Path(attemptDir, name)
+          val dst = new Path(destDir, name)
+          require(fs.exists(tmp), s"attempt $attempt reported $name but left no file")
+          fs.delete(dst, false) // overwrite a previous run's file of the same name
+          if (!fs.rename(tmp, dst))
+            throw new java.io.IOException(s"archive publish rename to $dst failed")
+        }
     }
     acks.groupBy(_._1).foreach { case (p, files) =>
-      val latest = files.maxBy(_._2)._3
-      val out = fs.create(new Path(root, cursorFileName(topic, p)), true)
-      out.write(latest.getBytes("UTF-8"))
+      val latest = files.maxBy(_._2)
+      val rel = f"$topic-$p%05d-${latest._2}%012d.index.json"
+      val key = if (datePrefix.isEmpty) rel else s"$datePrefix/$rel"
+      // atomic cursor swap (tmp + rename-with-overwrite): readers trust only
+      // the cursor, so there must never be a truncated or missing one
+      val cur = new Path(root, cursorFileName(topic, p))
+      val tmp = new Path(root, cursorFileName(topic, p) + ".tmp")
+      val out = fs.create(tmp, true)
+      out.write(key.getBytes("UTF-8"))
       out.close()
+      org.apache.hadoop.fs.FileContext
+        .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
+        .rename(fs.makeQualified(tmp), fs.makeQualified(cur),
+          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     }
+    fs.delete(new Path(root, s".inprogress/job-$jobTag"), true)
   }
 
   // ----------------------------------------------------------------- read
