@@ -72,7 +72,10 @@ object Multimodal {
       .select(col("doc_id"),
         element_at(lit(Array("image", "audio", "video", "text")),
           (pmod(col("doc_id"), lit(4L)) + 1).cast("int")).as("modality"),
-        encode(col("text"), "UTF-8").as("payload"))
+        // null text ⇒ empty payload, not a null array the kernel would NPE
+        // on (the same null contract as mm_frame_sample's coalesce — both
+        // sides of the gate treat a null document as zero bytes)
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"))
       .as[MediaRecord]
   }
 

@@ -48,11 +48,35 @@ object CdcQueries {
   /** stable staging tag suffix for a testdata dir */
   private def dirTag(dir: String): String = dir.replaceAll("[^A-Za-z0-9.]", "_")
 
+  /** Loud guard for the line-framed archive container: a newline inside a
+    * record would be written as two physical lines but counted as one — on
+    * read every later record in the chunk silently shifts by an offset
+    * (the same unescapable-delimiter hazard cdc_text_decode guards). The
+    * reference's text format would corrupt identically; failing loudly at
+    * write time is strictly better.
+    */
+  private[queries] def noNewline(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    when(c.contains("\n"), raise_error(concat(
+      lit("archive record contains a newline — the line-framed container "),
+      lit("cannot represent it: "), c))).otherwise(c)
+
   /** the text-framed archive lines shared by the gz-archive gates */
   private def archiveLines(s: SparkSession, dir: String): DataFrame =
     changes(s, dir).select(col("partition"), col("offset"),
-      concat(col("repo"), lit("/"), col("path"), lit("\t"),
-        coalesce(col("content"), lit(""))).as("line"))
+      noNewline(concat(col("repo"), lit("/"), col("path"), lit("\t"),
+        coalesce(col("content"), lit("")))).as("line"))
+
+  /** order-insensitive exact checksum term: md5-derived 60-bit value reduced
+    * mod 2^31, so sums stay BIGINT on both engines (a DECIMAL/HUGEINT output
+    * would hit reader-representation drift in the driver's value hash).
+    * [[duckMd5SumTerm]] is the textually-adjacent DuckDB twin — keep them in
+    * lockstep; six gates checksum through this one pair.
+    */
+  private[queries] def md5SumTerm(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    pmod(Portable.md5Long(c), lit(2147483648L))
+
+  private[queries] def duckMd5SumTerm(e: String): String =
+    s"('0x' || substr(md5($e), 1, 15))::BIGINT % 2147483648"
 
   /** Build-once-per-JVM shared block-gzip archive over the change log
     * (marker-gated: a crashed build is rebuilt, a complete one is reused).
@@ -272,9 +296,9 @@ object CdcQueries {
       // reader-representation drift in the driver's hash)
       parsed.groupBy(col("partition")).agg(
         count(lit(1)).as("n"),
-        sum(pmod(Portable.md5Long(concat_ws("|",
+        sum(md5SumTerm(concat_ws("|",
           col("offset"), col("op"), col("repo"), col("path"),
-          coalesce(col("content"), lit("∅")))), lit(2147483648L))).as("row_sum"))
+          coalesce(col("content"), lit("∅"))))).as("row_sum"))
     },
 
     // S2-S5/K1-K3 container interop — the reference's ACTUAL on-disk archive
@@ -291,7 +315,7 @@ object CdcQueries {
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n"),
           min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
-          sum(pmod(Portable.md5Long(col("value")), lit(2147483648L))).as("line_sum"))
+          sum(md5SumTerm(col("value"))).as("line_sum"))
     },
 
     // S4 ranged resume through the chunk index: whole members at or below
@@ -303,7 +327,7 @@ object CdcQueries {
       graft.sources.GzArchive.readFrom(s, sharedArchive(s, dir), committed)
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n"), min(col("offset")).as("first_replayed"),
-          sum(pmod(Portable.md5Long(col("value")), lit(2147483648L))).as("line_sum"))
+          sum(md5SumTerm(col("value"))).as("line_sum"))
     },
 
     // S2/S6/K4 connector-bucket interop end to end: a DATE-PREFIXED archive
@@ -337,7 +361,7 @@ object CdcQueries {
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n"),
           min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
-          sum(pmod(Portable.md5Long(col("value")), lit(2147483648L))).as("line_sum"))
+          sum(md5SumTerm(col("value"))).as("line_sum"))
       val next = s.createDataFrame(
         graft.sources.GzArchive.fetchOffsets(s, root, "changes").toSeq)
         .toDF("partition", "next_offset")
@@ -510,17 +534,15 @@ object CdcQueries {
         |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_json_roundtrip" -> duck(
-      """SELECT partition, count(*) AS n,
-        |       CAST(sum(('0x' || substr(md5(
-        |         CAST("offset" AS VARCHAR) || '|' || op || '|' || repo || '|' || path || '|' || coalesce(content, '∅')
-        |       ), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS row_sum
+      s"""SELECT partition, count(*) AS n,
+        |       CAST(sum(${duckMd5SumTerm("""CAST("offset" AS VARCHAR) || '|' || op || '|' || repo || '|' || path || '|' || coalesce(content, '∅')""")}) AS BIGINT) AS row_sum
         |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_gz_archive_read" -> duck(
-      """SELECT partition, count(*) AS n,
+      s"""SELECT partition, count(*) AS n,
         |       CAST(0 AS BIGINT) AS min_offset,
         |       count(*) - 1 AS max_offset,
-        |       CAST(sum(('0x' || substr(md5(repo || '/' || path || chr(9) || coalesce(content, '')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS line_sum
+        |       CAST(sum(${duckMd5SumTerm("repo || '/' || path || chr(9) || coalesce(content, '')")}) AS BIGINT) AS line_sum
         |FROM changes GROUP BY 1""".stripMargin),
 
     // cursor gate: the orphan is invisible (only cursor-acknowledged files
@@ -528,22 +550,22 @@ object CdcQueries {
     // next-offset arithmetic (last chunk first+num) equals the count because
     // archive offsets are dense from 0
     "cdc_gz_archive_cursor" -> duck(
-      """SELECT partition, count(*) AS n,
+      s"""SELECT partition, count(*) AS n,
         |       CAST(0 AS BIGINT) AS min_offset,
         |       count(*) - 1 AS max_offset,
-        |       CAST(sum(('0x' || substr(md5(repo || '/' || path || chr(9) || coalesce(content, '')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS line_sum,
+        |       CAST(sum(${duckMd5SumTerm("repo || '/' || path || chr(9) || coalesce(content, '')")}) AS BIGINT) AS line_sum,
         |       count(*) AS next_offset
         |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_gz_archive_resume" -> duck(
-      """, arch AS (
+      s""", arch AS (
         |  SELECT partition,
         |         row_number() OVER (PARTITION BY partition ORDER BY "offset") - 1 AS aoff,
         |         repo || '/' || path || chr(9) || coalesce(content, '') AS line
         |  FROM changes
         |), committed(partition, committed) AS (VALUES (0, 100), (1, 150), (2, 200), (3, 250))
         |SELECT a.partition, count(*) AS n, min(aoff) AS first_replayed,
-        |       CAST(sum(('0x' || substr(md5(line), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS line_sum
+        |       CAST(sum(${duckMd5SumTerm("line")}) AS BIGINT) AS line_sum
         |FROM arch a JOIN committed m ON a.partition = m.partition
         |WHERE aoff > m.committed
         |GROUP BY 1""".stripMargin),

@@ -1,6 +1,5 @@
 package graft.queries
 
-import graft.functions.Portable
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -9,8 +8,14 @@ import org.apache.spark.sql.functions._
   *
   * Exactness across engines: float elements are scaled to integers
   * (round(x * 1e6) as BIGINT), so dot products and norms are exact integer
-  * arithmetic in both Spark and DuckDB; only the final cosine is a double,
-  * computed from identical integers with identical IEEE ops.
+  * arithmetic in both Spark and DuckDB; the final cosine is a double
+  * computed from identical integers with identical IEEE ops, then emitted
+  * (and ordered, and thresholded) as exact NANO units:
+  * `floor(cos * 1e9)` as BIGINT. floor of identical doubles is identical
+  * on both engines — unlike `round(x, 9)`, where Spark rounds HALF_UP on
+  * the double's shortest decimal REPRESENTATION while DuckDB rounds the
+  * binary value, a ~1e-8-per-row cross-engine flip risk that would also
+  * make top-k ranks nondeterministic at the 10^10-row design point.
   *
   * Scale path: brute-force top-k is the baseline (fine for a bounded query
   * set — it's one broadcast of the queries against a scan of the corpus);
@@ -31,8 +36,17 @@ object EmbeddingQueries {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  private def cosine(d: Column, na: Column, nb: Column): Column =
-    round(d.cast("double") / (sqrt(na.cast("double")) * sqrt(nb.cast("double"))), 9)
+  /** exact nano-cosine (see class doc) */
+  private def cosNano(d: Column, na: Column, nb: Column): Column =
+    floor((d.cast("double") /
+      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))) * lit(1e9)).cast("long")
+
+  /** the DuckDB twin of [[cosNano]] over a BIGINT dot product expression */
+  private def duckCosNano(dotExpr: String, naExpr: String, nbExpr: String): String =
+    s"CAST(floor(CAST($dotExpr AS DOUBLE) / (sqrt(CAST($naExpr AS DOUBLE)) * sqrt(CAST($nbExpr AS DOUBLE))) * 1000000000) AS BIGINT)"
+
+  private def duckDot(qv: String, cv: String): String =
+    s"CAST(list_sum(list_transform(range(1, len($qv) + 1), i -> $qv[i] * $cv[i])) AS BIGINT)"
 
   /** ±1 hyperplane coefficient for (dim i, plane j): parity of
     * md5(s"$i~$j") — the same value Spark's
@@ -108,10 +122,10 @@ object EmbeddingQueries {
       val joined = broadcast(q).crossJoin(
         all.select(col("vec_id").as("cid"), col("v").as("cv"), col("norm2").as("cn")))
         .filter(col("qid") =!= col("cid"))
-        .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+        .withColumn("cos_nano", cosNano(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_nano").desc, col("cid"))
       joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select(col("qid"), col("rank"), col("cid"), col("cosine"))
+        .select(col("qid"), col("rank"), col("cid"), col("cos_nano"))
     },
 
     // LSH bucket histogram (the partition layout of the ANN index)
@@ -132,13 +146,15 @@ object EmbeddingQueries {
       val c = b.select(col("vec_id").as("cid"), col("v").as("cv"),
         col("norm2").as("cn"), col("bucket"))
       val joined = q.join(c, Seq("bucket")).filter(col("qid") =!= col("cid"))
-        .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+        .withColumn("cos_nano", cosNano(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_nano").desc, col("cid"))
       joined.withColumn("rank", row_number().over(w)).filter(col("rank") === 1)
-        .select(col("qid"), col("bucket"), col("cid"), col("cosine"))
+        .select(col("qid"), col("bucket"), col("cid"), col("cos_nano"))
     },
 
-    // embedding near-dup pairs within buckets above a cosine floor
+    // embedding near-dup pairs within buckets above a cosine floor — the
+    // threshold compares EXACT nano integers, so membership cannot flip
+    // between engines
     "emb_neardup" -> { (s, dir) =>
       val b = withBucket(scaled(s, dir))
       val l = b.select(col("vec_id").as("ida"), col("v").as("va"),
@@ -146,9 +162,9 @@ object EmbeddingQueries {
       val r = b.select(col("vec_id").as("idb"), col("v").as("vb"),
         col("norm2").as("nb"), col("bucket"))
       l.join(r, Seq("bucket")).filter(col("ida") < col("idb"))
-        .withColumn("cosine", cosine(dot(col("va"), col("vb")), col("na"), col("nb")))
-        .filter(col("cosine") >= 0.30)
-        .select(col("ida"), col("idb"), col("bucket"), col("cosine"))
+        .withColumn("cos_nano", cosNano(dot(col("va"), col("vb")), col("na"), col("nb")))
+        .filter(col("cos_nano") >= 300000000L)
+        .select(col("ida"), col("idb"), col("bucket"), col("cos_nano"))
     },
 
     // IVF ANN: assign every vector to its nearest of 4 deterministic
@@ -161,7 +177,7 @@ object EmbeddingQueries {
       val cents = all.filter(col("vec_id") < 4)
         .select(col("vec_id").as("cent_id"), col("v").as("cvv"), col("norm2").as("cnn"))
       val assigned = all.crossJoin(broadcast(cents))
-        .withColumn("cos_c", cosine(dot(col("v"), col("cvv")), col("norm2"), col("cnn")))
+        .withColumn("cos_c", cosNano(dot(col("v"), col("cvv")), col("norm2"), col("cnn")))
       val wAssign = Window.partitionBy(col("vec_id")).orderBy(col("cos_c").desc, col("cent_id"))
       val cells = assigned.withColumn("rn", row_number().over(wAssign))
         .filter(col("rn") === 1)
@@ -172,24 +188,23 @@ object EmbeddingQueries {
       val c = cells.select(col("vec_id").as("cid"), col("v").as("cv"),
         col("norm2").as("cn"), col("cell"))
       val joined = q.join(c, Seq("cell")).filter(col("qid") =!= col("cid"))
-        .withColumn("cosine", cosine(dot(col("qv"), col("cv")), col("qn"), col("cn")))
-      val w = Window.partitionBy(col("qid")).orderBy(col("cosine").desc, col("cid"))
+        .withColumn("cos_nano", cosNano(dot(col("qv"), col("cv")), col("qn"), col("cn")))
+      val w = Window.partitionBy(col("qid")).orderBy(col("cos_nano").desc, col("cid"))
       joined.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
-        .select(col("qid"), col("cell"), col("rank"), col("cid"), col("cosine"))
+        .select(col("qid"), col("cell"), col("rank"), col("cid"), col("cos_nano"))
     })
 
   val oracles: Map[String, String] = Map(
     "emb_cosine_topk" -> (duckScaled +
-      """, q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM sn WHERE vec_id < 5),
+      s""", q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn FROM sn WHERE vec_id < 5),
         |scoredq AS (
         |  SELECT q.qid, c.vec_id AS cid,
-        |         round(CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) AS BIGINT) AS DOUBLE)
-        |               / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))), 9) AS cosine
+        |         ${duckCosNano(duckDot("q.qv", "c.v"), "q.qn", "c.norm2")} AS cos_nano
         |  FROM q, sn c WHERE q.qid <> c.vec_id
         |)
-        |SELECT qid, rank, cid, cosine FROM (
-        |  SELECT qid, cid, cosine,
-        |         row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |SELECT qid, rank, cid, cos_nano FROM (
+        |  SELECT qid, cid, cos_nano,
+        |         row_number() OVER (PARTITION BY qid ORDER BY cos_nano DESC, cid) AS rank
         |  FROM scoredq) t
         |WHERE rank <= 3""".stripMargin),
 
@@ -199,24 +214,22 @@ object EmbeddingQueries {
         |FROM bucketed GROUP BY 1""".stripMargin),
 
     "emb_lsh_ann" -> (duckBucket +
-      """, q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn, bucket FROM bucketed WHERE vec_id < 20),
+      s""", q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn, bucket FROM bucketed WHERE vec_id < 20),
         |scoredq AS (
         |  SELECT q.qid, q.bucket, c.vec_id AS cid,
-        |         round(CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) AS BIGINT) AS DOUBLE)
-        |               / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))), 9) AS cosine
+        |         ${duckCosNano(duckDot("q.qv", "c.v"), "q.qn", "c.norm2")} AS cos_nano
         |  FROM q JOIN bucketed c ON q.bucket = c.bucket AND q.qid <> c.vec_id
         |)
-        |SELECT qid, bucket, cid, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |SELECT qid, bucket, cid, cos_nano FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_nano DESC, cid) AS rank
         |  FROM scoredq) t
         |WHERE rank = 1""".stripMargin),
 
     "emb_ivf_topk" -> (duckScaled +
-      """, cents AS (SELECT vec_id AS cent_id, v AS cvv, norm2 AS cnn FROM sn WHERE vec_id < 4),
+      s""", cents AS (SELECT vec_id AS cent_id, v AS cvv, norm2 AS cnn FROM sn WHERE vec_id < 4),
         |assigned AS (
         |  SELECT sn.vec_id, sn.v, sn.norm2, c.cent_id,
-        |         round(CAST(CAST(list_sum(list_transform(range(1, len(sn.v) + 1), i -> sn.v[i] * c.cvv[i])) AS BIGINT) AS DOUBLE)
-        |               / (sqrt(CAST(sn.norm2 AS DOUBLE)) * sqrt(CAST(c.cnn AS DOUBLE))), 9) AS cos_c
+        |         ${duckCosNano(duckDot("sn.v", "c.cvv"), "sn.norm2", "c.cnn")} AS cos_c
         |  FROM sn, cents c
         |), cells AS (
         |  SELECT vec_id, v, norm2, cent_id AS cell FROM (
@@ -226,22 +239,20 @@ object EmbeddingQueries {
         |), q AS (SELECT vec_id AS qid, v AS qv, norm2 AS qn, cell FROM cells WHERE vec_id >= 5 AND vec_id < 15),
         |scoredq AS (
         |  SELECT q.qid, q.cell, c.vec_id AS cid,
-        |         round(CAST(CAST(list_sum(list_transform(range(1, len(q.qv) + 1), i -> q.qv[i] * c.v[i])) AS BIGINT) AS DOUBLE)
-        |               / (sqrt(CAST(q.qn AS DOUBLE)) * sqrt(CAST(c.norm2 AS DOUBLE))), 9) AS cosine
+        |         ${duckCosNano(duckDot("q.qv", "c.v"), "q.qn", "c.norm2")} AS cos_nano
         |  FROM q JOIN cells c ON q.cell = c.cell AND q.qid <> c.vec_id
         |)
-        |SELECT qid, cell, rank, cid, cosine FROM (
-        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cosine DESC, cid) AS rank
+        |SELECT qid, cell, rank, cid, cos_nano FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_nano DESC, cid) AS rank
         |  FROM scoredq) t
         |WHERE rank <= 3""".stripMargin),
 
     "emb_neardup" -> (duckBucket +
-      """
+      s"""
         |SELECT * FROM (
         |  SELECT a.vec_id AS ida, b.vec_id AS idb, a.bucket,
-        |         round(CAST(CAST(list_sum(list_transform(range(1, len(a.v) + 1), i -> a.v[i] * b.v[i])) AS BIGINT) AS DOUBLE)
-        |               / (sqrt(CAST(a.norm2 AS DOUBLE)) * sqrt(CAST(b.norm2 AS DOUBLE))), 9) AS cosine
+        |         ${duckCosNano(duckDot("a.v", "b.v"), "a.norm2", "b.norm2")} AS cos_nano
         |  FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-        |) t WHERE cosine >= 0.30""".stripMargin)
+        |) t WHERE cos_nano >= 300000000""".stripMargin)
   )
 }

@@ -68,8 +68,7 @@ object EngineQueries {
         .groupBy(col("partition"))
         .agg(count(lit(1)).as("n"),
           min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
-          sum(pmod(graft.functions.Portable.md5Long(coalesce(col("content"), lit("∅"))),
-            lit(2147483648L))).as("content_sum"))
+          sum(CdcQueries.md5SumTerm(coalesce(col("content"), lit("∅")))).as("content_sum"))
     },
 
     // journal retention end-to-end: 3 appends tiling the offset space in
@@ -91,8 +90,7 @@ object EngineQueries {
       j.read().groupBy(col("partition"))
         .agg(count(lit(1)).as("n"),
           min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
-          sum(pmod(graft.functions.Portable.md5Long(coalesce(col("content"), lit("∅"))),
-            lit(2147483648L))).as("content_sum"))
+          sum(CdcQueries.md5SumTerm(coalesce(col("content"), lit("∅")))).as("content_sum"))
     },
 
     // mid-stream resume: committed offsets inside the journal ⇒ replay
@@ -161,7 +159,11 @@ object EngineQueries {
           val n = st.getPath.getName
           if (n.startsWith("part-") && !stamped.contains(n)) {
             if (base == 0L) base = st.getModificationTime
-            fsys.setTimes(st.getPath, base + i, -1)
+            // whole-second spacing: filesystems that truncate mtimes to 1s
+            // resolution (HFS+, some NFS/overlay mounts) would collapse
+            // millisecond offsets back into the tie this stamping exists
+            // to break
+            fsys.setTimes(st.getPath, base + i * 1000L, -1)
             stamped += n
           }
         }
@@ -204,10 +206,13 @@ object EngineQueries {
     "eng_archive_backfill" -> { (s, dir) =>
       val root = workDir(s, "backfill")
       val c = CdcQueries.changes(s, dir)
-      // text framing: op \t repo \t path \t content, null content as ∅
+      // text framing: op \t repo \t path \t content, null content as ∅.
+      // Newlines cannot ride a line-framed container (loud guard); tabs in
+      // content are safe because the decode splits with limit 4, so only
+      // the first three delimiters are structural.
       val lines = c.select(col("partition"), col("offset"),
-        concat_ws("\t", col("op"), col("repo"), col("path"),
-          coalesce(col("content"), lit("∅"))).as("line"))
+        CdcQueries.noNewline(concat_ws("\t", col("op"), col("repo"), col("path"),
+          coalesce(col("content"), lit("∅")))).as("line"))
       // the full connector bucket layout: date-prefixed keys + cursor files,
       // then the cursor-TRUSTED read (only acknowledged files), exactly what
       // pointing the engine at a migrating user's real bucket does
@@ -215,7 +220,7 @@ object EngineQueries {
         "offset", chunkThreshold = 8192, recordsPerFile = 5000,
         datePrefix = "2024-06-01")
       val arch = graft.sources.GzArchive.readCommitted(s, s"$root/archive", "changes")
-      val f = split(col("value"), "\t")
+      val f = split(col("value"), "\t", 4) // limit: tabs in content stay intact
       val decoded = arch.select(
         col("partition"), col("offset"),
         element_at(f, 1).as("op"),
@@ -279,24 +284,7 @@ object EngineQueries {
         col("offset").as("last_offset"), md5(col("content")).as("content_md5"))
     },
 
-    // multimodal plumbing: opaque binary payload column + typed metadata,
-    // deterministic stub "decode" (md5-derived dimensions — the real decoder
-    // would be a library call in mapPartitions; the Spark-side schema,
-    // batching and partitioning are the real thing)
-    "mm_decode_stub" -> { (s, dir) =>
-      val d = s.read.parquet(s"$dir/documents.parquet")
-      d.select(col("doc_id"),
-        encode(col("text"), "UTF-8").as("payload"),
-        col("source").as("modality"))
-        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
-        .withColumn("fake_width",
-          pmod(graft.functions.Portable.md5Long(concat(lit("w#"), col("doc_id").cast("string"))),
-            lit(1920L)).as("fake_width"))
-        .withColumn("fake_height",
-          pmod(graft.functions.Portable.md5Long(concat(lit("h#"), col("doc_id").cast("string"))),
-            lit(1080L)))
-        .select("doc_id", "modality", "n_bytes", "fake_width", "fake_height")
-    })
+    )
 
   val oracles: Map[String, String] = Map(
     "eng_cdc_merge" -> duckFinalState,
@@ -371,13 +359,13 @@ object EngineQueries {
         |WHERE rn = 1 AND op = 'upsert'""".stripMargin),
 
     "eng_journal_roundtrip" -> (CdcQueries.duckChanges +
-      """
+      s"""
         |SELECT partition, count(*) AS n, min("offset") AS min_offset, max("offset") AS max_offset,
-        |       CAST(sum(('0x' || substr(md5(coalesce(content, '∅')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS content_sum
+        |       CAST(sum(${CdcQueries.duckMd5SumTerm("coalesce(content, '∅')")}) AS BIGINT) AS content_sum
         |FROM changes GROUP BY 1""".stripMargin),
 
     "eng_journal_truncate" -> (CdcQueries.duckChanges +
-      """, mo AS (SELECT max("offset") AS m FROM changes),
+      s""", mo AS (SELECT max("offset") AS m FROM changes),
         |b AS (
         |  SELECT c.*, CASE WHEN c."offset" < mo.m // 3 THEN 0
         |                   WHEN c."offset" < 2 * mo.m // 3 THEN 1
@@ -390,7 +378,7 @@ object EngineQueries {
         |)
         |SELECT b.partition, count(*) AS n,
         |       min(b."offset") AS min_offset, max(b."offset") AS max_offset,
-        |       CAST(sum(('0x' || substr(md5(coalesce(b.content, '∅')), 1, 15))::BIGINT % 2147483648) AS BIGINT) AS content_sum
+        |       CAST(sum(${CdcQueries.duckMd5SumTerm("coalesce(b.content, '∅')")}) AS BIGINT) AS content_sum
         |FROM b JOIN keptb ON b.partition = keptb.partition AND b.batch = keptb.batch
         |GROUP BY 1""".stripMargin),
 
@@ -401,11 +389,5 @@ object EngineQueries {
         |WHERE c."offset" > m.committed
         |GROUP BY 1""".stripMargin),
 
-    "mm_decode_stub" ->
-      """SELECT doc_id, source AS modality,
-        |       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |       ('0x' || substr(md5('w#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1920 AS fake_width,
-        |       ('0x' || substr(md5('h#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1080 AS fake_height
-        |FROM documents""".stripMargin
   )
 }

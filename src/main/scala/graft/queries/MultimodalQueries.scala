@@ -51,6 +51,26 @@ object MultimodalQueries {
           "frame_id", "frame_offset", "feature")
     },
 
+    // multimodal plumbing: opaque binary payload column + typed metadata,
+    // deterministic stub "decode" (md5-derived dimensions — the real decoder
+    // would be a library call in mapPartitions; the Spark-side schema,
+    // batching and partitioning are the real thing). Lives here so the
+    // stub-dimension contract ('w#'/'h#' md5 derivation) stays in one file
+    // with its siblings.
+    "mm_decode_stub" -> { (s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        encode(coalesce(col("text"), lit("")), "UTF-8").as("payload"),
+        col("source").as("modality"))
+        .withColumn("n_bytes", octet_length(col("payload")).cast("long"))
+        .withColumn("fake_width",
+          pmod(Portable.md5Long(concat(lit("w#"), col("doc_id").cast("string"))),
+            lit(1920L)))
+        .withColumn("fake_height",
+          pmod(Portable.md5Long(concat(lit("h#"), col("doc_id").cast("string"))),
+            lit(1080L)))
+        .select("doc_id", "modality", "n_bytes", "fake_width", "fake_height")
+    },
+
     // resize planning: fit stubbed (w, h) into a 256-box preserving aspect
     // ratio with exact integer arithmetic (the metadata side of a real
     // libvips/ffmpeg resize; the pixel kernel would ride mapPartitions as in
@@ -71,17 +91,24 @@ object MultimodalQueries {
 
   val oracles: Map[String, String] = Map(
 
+    "mm_decode_stub" ->
+      """SELECT doc_id, source AS modality,
+        |       CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS n_bytes,
+        |       ('0x' || substr(md5('w#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1920 AS fake_width,
+        |       ('0x' || substr(md5('h#' || CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 1080 AS fake_height
+        |FROM documents""".stripMargin,
+
     // mirrors Multimodal.decodeKernel: h = first 15 hex chars of sha256 as a
     // long; dims/duration derived with the same integer ops
     "mm_extract_features" ->
       """WITH m AS (
         |  SELECT doc_id,
         |         ['image', 'audio', 'video', 'text'][CAST(doc_id % 4 AS INT) + 1] AS modality,
-        |         text
+        |         coalesce(text, '') AS text
         |  FROM documents
         |), h AS (
         |  -- DuckDB sha256(VARCHAR) hashes the UTF-8 bytes = Spark's sha-256
-        |  -- of encode(text, 'UTF-8')
+        |  -- of encode(text, 'UTF-8'); null text is zero bytes on both sides
         |  SELECT doc_id, modality,
         |         CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
         |         substr(sha256(text), 1, 16) AS sha_prefix,

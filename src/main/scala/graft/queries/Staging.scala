@@ -32,9 +32,48 @@ object Staging {
       .orElse(sys.env.get("GRAFT_STAGING_ROOT"))
       .getOrElse(sys.props.getOrElse("java.io.tmpdir", "/tmp"))
 
-  private def tagPath(spark: SparkSession, tag: String): Path =
-    new Path(new Path(rootStr(spark),
-      s"graft-stage-${ProcessHandle.current().pid()}"), tag)
+  private val pid = ProcessHandle.current().pid()
+
+  // Leak control across JVMs: each JVM's tree is pid-scoped, so without
+  // reclamation every Verify/Bench run would orphan its full staging
+  // footprint forever. Own tree deletes on clean JVM exit (shutdown hook);
+  // stale sibling trees reap lazily on first use — a dead LOCAL pid after a
+  // short grace, anything after 24h (covers crashed JVMs, and bounds the
+  // shared-filesystem case where pid liveness of another host's driver
+  // cannot be checked; staging is rebuildable scratch, so a rare false
+  // reclaim costs one re-stage, never data).
+  private val maintained = new java.util.concurrent.atomic.AtomicBoolean(false)
+
+  private def maintain(spark: SparkSession): Unit =
+    if (maintained.compareAndSet(false, true)) {
+      val base = new Path(rootStr(spark))
+      val fs = base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val own = new Path(base, s"graft-stage-$pid")
+      Runtime.getRuntime.addShutdownHook(new Thread(() => {
+        try fs.delete(own, true): Unit catch { case _: Throwable => () }
+      }))
+      try {
+        if (fs.exists(base)) {
+          val now = System.currentTimeMillis()
+          fs.listStatus(base).foreach { st =>
+            val n = st.getPath.getName
+            if (n.startsWith("graft-stage-") && n != own.getName) {
+              val otherPid = n.stripPrefix("graft-stage-").toLongOption
+              val deadLocal = otherPid.exists(p =>
+                ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false) == false)
+              val age = now - st.getModificationTime
+              if ((deadLocal && age > 10 * 60 * 1000L) || age > 24L * 3600 * 1000)
+                fs.delete(st.getPath, true): Unit
+            }
+          }
+        }
+      } catch { case _: Throwable => () } // best-effort; staging still works
+    }
+
+  private def tagPath(spark: SparkSession, tag: String): Path = {
+    maintain(spark)
+    new Path(new Path(rootStr(spark), s"graft-stage-$pid"), tag)
+  }
 
   /** A fresh (wiped) scratch dir for `tag`. */
   def dir(spark: SparkSession, tag: String): String = {

@@ -180,9 +180,13 @@ object TextQueries {
         .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
         .select(col("doc_a"), col("doc_b"), col("n_inter"),
           (col("za.sz") + col("zb.sz") - col("n_inter")).as("n_union"),
-          round(col("n_inter").cast("double")
-            / (col("za.sz") + col("zb.sz") - col("n_inter")).cast("double"), 9)
-            .as("jaccard"))
+          // exact NANO units, not round(x, 9): floor of identical doubles
+          // is identical across engines, round-half-up at scale 9 is not
+          // (Spark rounds the shortest decimal repr, DuckDB the binary)
+          floor(col("n_inter").cast("double")
+            / (col("za.sz") + col("zb.sz") - col("n_inter")).cast("double")
+            * lit(1e9)).cast("long")
+            .as("jaccard_nano"))
     },
 
     // SimHash (16-bit) over distinct words
@@ -255,13 +259,17 @@ object TextQueries {
         expr("size(regexp_extract_all(text, '[.!?,;:]', 0))").cast("long").as("n_punct"),
         expr("size(regexp_extract_all(concat(' ', lower(text), ' '), " +
           "' (the|a|of|and|to|in) ', 0))").cast("long").as("n_stop"))
-        .withColumn("avg_token_len",
-          round(col("n_chars").cast("double") / col("n_tokens").cast("double"), 9))
-        .withColumn("stop_ratio",
-          round(col("n_stop").cast("double") / col("n_tokens").cast("double"), 9))
-        .withColumn("quality_score",
-          round(least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
-            + col("n_stop").cast("double") / col("n_tokens").cast("double") * lit(2.0), 9))
+        // NANO-unit ratios (floor of identical doubles — see jaccard note)
+        .withColumn("avg_token_len_nano",
+          floor(col("n_chars").cast("double") / col("n_tokens").cast("double")
+            * lit(1e9)).cast("long"))
+        .withColumn("stop_ratio_nano",
+          floor(col("n_stop").cast("double") / col("n_tokens").cast("double")
+            * lit(1e9)).cast("long"))
+        .withColumn("quality_score_nano",
+          floor((least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+            + col("n_stop").cast("double") / col("n_tokens").cast("double") * lit(2.0))
+            * lit(1e9)).cast("long"))
     })
 
   val oracles: Map[String, String] = Map(
@@ -284,8 +292,8 @@ object TextQueries {
         |)
         |SELECT p.doc_a, p.doc_b, coalesce(i.n_inter, 0) AS n_inter,
         |       za.sz + zb.sz - coalesce(i.n_inter, 0) AS n_union,
-        |       round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
-        |             / CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS DOUBLE), 9) AS jaccard
+        |       CAST(floor(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+        |             / CAST(za.sz + zb.sz - coalesce(i.n_inter, 0) AS DOUBLE) * 1000000000) AS BIGINT) AS jaccard_nano
         |FROM pairs p
         |LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
         |JOIN sizes za ON za.doc_id = p.doc_a
@@ -352,10 +360,10 @@ object TextQueries {
         |  FROM documents
         |)
         |SELECT doc_id, n_chars, n_tokens, n_punct, n_stop,
-        |       round(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS avg_token_len,
-        |       round(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE), 9) AS stop_ratio,
-        |       round(least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
-        |             + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 2.0, 9) AS quality_score
+        |       CAST(floor(CAST(n_chars AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000000) AS BIGINT) AS avg_token_len_nano,
+        |       CAST(floor(CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 1000000000) AS BIGINT) AS stop_ratio_nano,
+        |       CAST(floor((least(CAST(n_tokens AS DOUBLE) / 100.0, 1.0) * 0.5
+        |             + CAST(n_stop AS DOUBLE) / CAST(n_tokens AS DOUBLE) * 2.0) * 1000000000) AS BIGINT) AS quality_score_nano
         |FROM f""".stripMargin
   )
 }
