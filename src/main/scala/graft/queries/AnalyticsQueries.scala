@@ -128,9 +128,19 @@ object AnalyticsQueries {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("us"), col("event_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      ev.withColumn("view_key",
-        when(col("event_type") === "view",
-          format_string("%020d#%012d", col("us"), col("event_id"))))
+      ev
+        // GUARD the padded-key contract: lexicographic == numeric only while
+        // event_id fits 12 digits and ts is post-epoch. Past either cap the
+        // key ordering silently inverts — and the DuckDB oracle shares the
+        // formula, so the gate could never catch it (a correlated-oracle
+        // blind spot). Same pattern as micro(): loud beats silently wrong.
+        .withColumn("us", when(col("us") >= 0L && col("event_id") < 1000000000000L,
+          col("us")).otherwise(raise_error(concat(
+            lit("asof key caps exceeded (event_id >= 1e12 or pre-epoch ts): "),
+            col("event_id").cast("string"), lit(" @ "), col("us").cast("string")))))
+        .withColumn("view_key",
+          when(col("event_type") === "view",
+            format_string("%020d#%012d", col("us"), col("event_id"))))
         .withColumn("asof", max(col("view_key")).over(w))
         .filter(col("event_type") === "purchase" && col("asof").isNotNull)
         .select(col("event_id").as("purchase_id"), col("user_id"),
