@@ -83,11 +83,18 @@ object Multimodal {
     * multimodal corpus wants (modality-partitioned scans, binary payloads
     * kept out of the feature table).
     */
-  def featureTable(spark: SparkSession, dir: String): DataFrame =
-    extractFeatures(fromDocuments(spark, dir)).toDF()
-      // modality-clustered layout in ~4 partitions: range partitioning keeps
-      // each modality contiguous (hash into 4 could collide two modalities
-      // into one partition and leave others empty; into the default shuffle
-      // count it would leave ~all tasks empty)
-      .repartitionByRange(4, col("modality"))
+  def featureTable(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // modality-clustered layout in ~4 partitions: range partitioning keeps
+    // each modality contiguous (hash into 4 could collide two modalities
+    // into one partition and leave others empty; into the default shuffle
+    // count it would leave ~all tasks empty). Repartition BEFORE the
+    // kernel: repartitionByRange runs a boundary-sampling job over its
+    // child, and placed after extractFeatures that would execute the
+    // expensive decode twice per record — here sampling touches only the
+    // cheap doc_id-derived input.
+    extractFeatures(
+      fromDocuments(spark, dir).repartitionByRange(4, col("modality"))
+        .as[MediaRecord]).toDF()
+  }
 }

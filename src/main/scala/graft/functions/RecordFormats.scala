@@ -52,10 +52,28 @@ object RecordFormats {
       * DelimitedRecordReader.java:64-66) — only the empty tail after a
       * well-terminated final record is dropped.
       */
+    // BOM-emitting charsets (plain UTF-16) prefix EVERY record's bytes with
+    // a BOM because records encode independently; decoding the concatenated
+    // buffer as one string consumes only the first, leaving U+FEFF embedded
+    // in records 2..n. The reference decodes each record's bytes separately
+    // (so each BOM is consumed); we match that by stripping a leading BOM
+    // per record — only for charsets that actually emit one.
+    @transient private lazy val emitsBom: Boolean = {
+      // probe with a real char: the encoder emits its BOM lazily with the
+      // first character, so an empty-string probe would miss it
+      val b = "x".getBytes(cs)
+      b.length >= 2 &&
+        ((b(0) == 0xFE.toByte && b(1) == 0xFF.toByte) ||
+          (b(0) == 0xFF.toByte && b(1) == 0xFE.toByte))
+    }
+
     def decodeAll(bytes: Array[Byte]): Seq[(Option[String], String)] = {
       val text = new String(bytes, cs)
       val split = text.split(java.util.regex.Pattern.quote(valueDelimiter), -1).toSeq
-      val records = if (split.lastOption.contains("")) split.dropRight(1) else split
+      val records0 = if (split.lastOption.contains("")) split.dropRight(1) else split
+      val records =
+        if (!emitsBom) records0
+        else records0.map(r => if (r.nonEmpty && r.charAt(0) == '\uFEFF') r.substring(1) else r)
       records.map { r =>
         keyDelimiter match {
           case None => (None, r)

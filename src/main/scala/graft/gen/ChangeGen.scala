@@ -45,11 +45,19 @@ object ChangeGen {
     require(partitions >= 1, "need at least one partition")
     // nKeys is the TOTAL distinct-key budget, dealt evenly across partitions
     val keysPerPartition = math.max(1, nKeys / partitions)
-    val r = spark.range(0, nEvents, 1, math.max(4, partitions))
+    // slice count follows cluster cores, not the logical partition count:
+    // every column is a pure function of id, so range-slice parallelism is
+    // free — tying it to `partitions` (often 4) would generate 10^9 rows on
+    // 4 tasks
+    val r = spark.range(0, nEvents, 1,
+      math.max(spark.sparkContext.defaultParallelism, partitions))
     // independent deterministic hash streams per purpose
     def h(tag: String) = xxhash64(lit(seed), lit(tag), col("id"))
     val partitionCol = pmod(col("id"), lit(partitions.toLong)).cast("int")
-    val offsetCol = (col("id") / partitions).cast("long") + lit(startOffset)
+    // integral div, not double Divide: `/` coerces to double and loses
+    // integer precision past 2^53 ids (the same trap Chunker documents)
+    val offsetCol =
+      call_function("div", col("id"), lit(partitions.toLong)) + lit(startOffset)
     val isHot = pmod(h("hot"), lit(100)) < lit(hotPct)
     val keyId = pmod(h("key"), lit(keysPerPartition.toLong))
     val isDelete = pmod(h("op"), lit(100)) < lit(deletePct)

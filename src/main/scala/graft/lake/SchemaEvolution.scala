@@ -39,15 +39,33 @@ object SchemaEvolution {
     case _ => None
   }
 
+  /** Spark resolves column names case-insensitively by default, so schema
+    * evolution must too: a binlog tail that starts spelling `lang` as `Lang`
+    * is the SAME column, not a new one (exact-case matching would append a
+    * duplicate that the next read rejects — or silently null the data).
+    * True case conflicts within one schema fail fast.
+    */
+  private def keyOf(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
+
+  private def requireNoCaseConflicts(s: StructType, what: String): Unit = {
+    val dup = s.fieldNames.groupBy(keyOf).collect { case (_, ns) if ns.length > 1 => ns.toSeq }
+    require(dup.isEmpty, s"case-conflicting columns in $what schema: $dup")
+  }
+
   /** Merge `incoming` into `current`: current column order first, appended
     * new columns after (stable order keeps old parquet readable and file
-    * diffs reviewable).
+    * diffs reviewable). A current column the batch does NOT carry flips to
+    * nullable — the batch demonstrably produces nulls there, and a
+    * non-nullable lake schema over null-bearing files is a constraint
+    * Catalyst would trust for wrong-answer filter simplification.
     */
   def merge(current: StructType, incoming: StructType): StructType = {
-    val byName = incoming.fields.map(f => f.name -> f).toMap
+    requireNoCaseConflicts(current, "lake")
+    requireNoCaseConflicts(incoming, "batch")
+    val byName = incoming.fields.map(f => keyOf(f.name) -> f).toMap
     val mergedExisting = current.fields.map { f =>
-      byName.get(f.name) match {
-        case None => f
+      byName.get(keyOf(f.name)) match {
+        case None => if (f.nullable) f else f.copy(nullable = true)
         case Some(in) =>
           val t = widen(f.dataType, in.dataType).getOrElse(
             throw new IllegalArgumentException(
@@ -56,21 +74,24 @@ object SchemaEvolution {
           StructField(f.name, t, f.nullable || in.nullable)
       }
     }
-    val curNames = current.fieldNames.toSet
-    val added = incoming.fields.filterNot(f => curNames.contains(f.name))
+    val curKeys = current.fieldNames.map(keyOf).toSet
+    val added = incoming.fields.filterNot(f => curKeys.contains(keyOf(f.name)))
       .map(f => f.copy(nullable = true)) // new columns are absent in old rows
     StructType(mergedExisting ++ added)
   }
 
   /** Project `df` onto `target`: cast widened columns, fill missing ones
-    * with nulls, keep target order. Pure Column ops — stays inside
+    * with nulls, keep target order (and target's name spelling — resolution
+    * is case-insensitive like Spark's own). Pure Column ops — stays inside
     * whole-stage codegen.
     */
   def align(df: DataFrame, target: StructType): DataFrame = {
-    val have = df.schema.fieldNames.toSet
+    val have = df.schema.fieldNames.map(n => keyOf(n) -> n).toMap
     df.select(target.fields.map { f =>
-      if (have.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
+      have.get(keyOf(f.name)) match {
+        case Some(actual) => col(actual).cast(f.dataType).as(f.name)
+        case None => lit(null).cast(f.dataType).as(f.name)
+      }
     }.toIndexedSeq: _*)
   }
 }

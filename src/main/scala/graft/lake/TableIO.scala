@@ -87,11 +87,23 @@ final class TableIO(val root: String, spark: SparkSession) {
     * same as the reference's cursor overwrite (S3Writer.java:142-153).
     */
   def writeAtomic(dest: Path, s: String): Unit = retry("writeAtomic") {
-    // the whole tmp-write + rename is idempotent, so it retries as a unit
-    val tmp = new Path(dest.getParent, dest.getName + ".tmp")
-    writeString(tmp, s)
-    fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
-      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    // The tmp name is unique per attempt: a FIXED tmp name would let two
+    // racing writers (a zombie and its fenced successor both commit here by
+    // design) interleave writes into one tmp file and rename a torn mix
+    // over the destination — the exact torn-read failure this method
+    // exists to prevent. The whole tmp-write + rename retries as a unit;
+    // a failed attempt best-effort reclaims its own tmp.
+    val tmp = new Path(dest.getParent, dest.getName +
+      s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      writeString(tmp, s)
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
+        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case t: Throwable =>
+        try fs.delete(tmp, false): Unit catch { case _: Throwable => () }
+        throw t
+    }
   }
 
   def swapSnapshot(json: String): Unit = writeAtomic(snapshotPath, json)

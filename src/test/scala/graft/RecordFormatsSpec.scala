@@ -77,4 +77,15 @@ class RecordFormatsSpec extends AnyFunSuite {
     // mid-length EOF
     intercept[IllegalStateException] { f.decodeAll(whole.take(2)) }
   }
+
+  test("UTF-16 (BOM-emitting) charset round-trips multi-record buffers") {
+    // each record encodes independently so each carries its own BOM; the
+    // buffer decode must consume every BOM, not just the leading one (the
+    // reference decodes per record and never sees this artifact)
+    val fmt = new TrailingDelimiterFormat("\n", Some("\t"),
+      StandardCharsets.UTF_16)
+    val buf = fmt.encode("k1", "v1") ++ fmt.encode("k2", "v2") ++ fmt.encode("k3", "v3")
+    assert(fmt.decodeAll(buf) ===
+      Seq((Some("k1"), "v1"), (Some("k2"), "v2"), (Some("k3"), "v3")))
+  }
 }
