@@ -75,6 +75,12 @@ object Staging {
     new Path(new Path(rootStr(spark), s"graft-stage-$pid"), tag)
   }
 
+  /** test seam: force the once-per-JVM maintenance pass to run again */
+  private[graft] def reapNowForTests(spark: SparkSession): Unit = {
+    maintained.set(false)
+    maintain(spark)
+  }
+
   /** A fresh (wiped) scratch dir for `tag`. */
   def dir(spark: SparkSession, tag: String): String = {
     val p = tagPath(spark, tag)

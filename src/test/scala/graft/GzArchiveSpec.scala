@@ -423,6 +423,15 @@ class GzArchiveSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("empty input writes no files and publishes no cursors") {
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("gzemptyin") + "/arch"
+    val df = Seq.empty[(Int, Long, String)].toDF("partition", "k", "line")
+    GzArchive.writeArchive(df, root, "t", "k")
+    assert(GzArchive.read(spark, root).count() === 0L)
+    assert(GzArchive.fetchOffsets(spark, root, "t") === Map.empty)
+  }
+
   test("executor tasks see the session's Hadoop configuration") {
     // the regression this guards: executor-side `new Configuration()` drops
     // session settings (S3A credentials, endpoints) — archive tasks must

@@ -326,4 +326,35 @@ class LakeSpec extends AnyFunSuite {
     assert(SchemaEvolution.widen(LongType, IntegerType) === Some(LongType))
     assert(SchemaEvolution.widen(StringType, LongType) === None)
   }
+
+  test("schema merge resolves case-insensitively, keeps lake spelling") {
+    // a case-drifted binlog column is the SAME column (Spark's own default
+    // resolution), never a duplicate and never silently nulled
+    val cur = StructType(Seq(StructField("lang", StringType, nullable = true)))
+    val in = StructType(Seq(StructField("Lang", StringType, nullable = true)))
+    val merged = SchemaEvolution.merge(cur, in)
+    assert(merged.fieldNames.toSeq === Seq("lang"))
+    // align maps the drifted spelling onto the target's
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(org.apache.spark.sql.Row("scala"))), in)
+    val aligned = SchemaEvolution.align(df, merged)
+    assert(aligned.columns.toSeq === Seq("lang"))
+    assert(aligned.collect()(0).getString(0) === "scala")
+    // true case conflicts within ONE schema fail fast
+    val conflicted = StructType(Seq(
+      StructField("x", LongType), StructField("X", LongType)))
+    intercept[IllegalArgumentException] { SchemaEvolution.merge(cur, conflicted) }
+  }
+
+  test("a lake column absent from the batch flips to nullable") {
+    // the batch fabricates nulls for the missing column; a non-nullable
+    // schema over null-bearing files would be a false constraint Catalyst
+    // trusts for filter simplification
+    val cur = StructType(Seq(
+      StructField("content", StringType, nullable = true),
+      StructField("score", LongType, nullable = false)))
+    val in = StructType(Seq(StructField("content", StringType, nullable = true)))
+    val merged = SchemaEvolution.merge(cur, in)
+    assert(merged("score").nullable, "absent-in-batch column must be nullable")
+  }
 }
