@@ -58,10 +58,14 @@ object Bench {
     val results = headline.map { name =>
       val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
+      // a broken query must fail the bench LOUDLY (nonzero exit, no JSON)
+      // — swallowing it would grade a bogus near-zero time as a speedup
       val n = try { fn(spark, sfDir).count() } catch {
-        case e: Throwable => System.err.println(s"[bench] $name: ${e.getMessage}"); -1L
+        case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e")
+          throw e
       }
-      require(n != 0L || name.startsWith("emb_"), s"$name returned no rows")
+      require(n > 0L || name.startsWith("emb_"), s"$name returned no rows")
       name -> (System.nanoTime() - t0) / 1e9
     } :+ ("cdc_gz_archive_write" -> archiveWriteSec)
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }

@@ -532,16 +532,26 @@ final class LakeTable(
   private def writeShards(node: com.fasterxml.jackson.databind.node.ObjectNode,
       version: Long, resolved: Seq[FileEntry],
       prevShards: Map[String, String], dirty: Set[String]): Unit = {
+    // ONE listing of shards/ answers every reuse existence check — a
+    // per-shard fs.exists would be O(shards) serial HEADs on the commit
+    // critical path (the probe-per-version shape the journal GC also
+    // avoids)
+    val existing = listShardRels()
     val shardsNode = node.putObject("shards")
     resolved.groupBy(f => shardKey(f.partition, f.sub)).toSeq.sortBy(_._1)
       .foreach { case (k, fs) =>
         val rel = prevShards.get(k) match {
-          case Some(prev) if !dirty.contains(k) &&
-              io.fs.exists(new Path(io.rootPath, prev)) => prev
+          case Some(prev) if !dirty.contains(k) && existing.contains(prev) => prev
           case _ => writeFreshShard(version, fs)
         }
         shardsNode.put(k, rel)
       }
+  }
+
+  private def listShardRels(): Set[String] = {
+    val d = new Path(io.rootPath, "shards")
+    if (!io.fs.exists(d)) Set.empty
+    else io.fs.listStatus(d).map(s => s"shards/${s.getPath.getName}").toSet
   }
 
   private def writeFreshShard(version: Long, fs: Seq[FileEntry]): String = {
@@ -563,9 +573,8 @@ final class LakeTable(
   private def verifyShards(m: com.fasterxml.jackson.databind.node.ObjectNode,
       version: Long, resolved: Seq[FileEntry]): Boolean = {
     if (!m.has("shards")) return false
-    val missing = shardMapOf(m).filter { case (_, rel) =>
-      !io.fs.exists(new Path(io.rootPath, rel))
-    }
+    val existing = listShardRels() // one fresh listing, not O(shards) HEADs
+    val missing = shardMapOf(m).filter { case (_, rel) => !existing.contains(rel) }
     if (missing.isEmpty) return false
     val byKey = resolved.groupBy(f => shardKey(f.partition, f.sub))
     val shardsNode = m.get("shards")
@@ -763,7 +772,15 @@ final class LakeTable(
         else lineageRowsOf(Json.parse(io.readString(legacyArchivePath))).toSeq
       val rows = (doomedRows ++ legacyRows).distinct
       if (rows.nonEmpty) {
-        val seg = new Path(io.rootPath, f"_lineage/seg-$keepFrom%012d.parquet")
+        // UNIQUE segment name, never overwrite: a crash mid-manifest-delete
+        // followed by a rerun recomputes `doomed` from the SURVIVING
+        // manifests only — overwriting a keepFrom-keyed segment with that
+        // subset would permanently lose the already-deleted manifests'
+        // rows. A rerun instead writes a second (subset) segment and
+        // lineage()'s distinct dedups the overlap; the audit trail can gain
+        // a redundant small file on a crash, never lose a row.
+        val seg = new Path(io.rootPath,
+          f"_lineage/seg-$keepFrom%012d-${System.nanoTime()}%016x.parquet")
         spark.createDataFrame(rows).repartition(1)
           .write.mode("overwrite").parquet(seg.toString)
       }

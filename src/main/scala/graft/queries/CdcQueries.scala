@@ -56,9 +56,11 @@ object CdcQueries {
     * write time is strictly better.
     */
   private[queries] def noNewline(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    when(c.contains("\n"), raise_error(concat(
-      lit("archive record contains a newline — the line-framed container "),
-      lit("cannot represent it: "), c))).otherwise(c)
+    // both \n and \r: the read side's line decoder (BufferedReader.readLine)
+    // splits on either, so a bare carriage return would also shift offsets
+    when(c.contains("\n") || c.contains("\r"), raise_error(concat(
+      lit("archive record contains a line terminator — the line-framed "),
+      lit("container cannot represent it: "), c))).otherwise(c)
 
   /** the text-framed archive lines shared by the gz-archive gates */
   private def archiveLines(s: SparkSession, dir: String): DataFrame =

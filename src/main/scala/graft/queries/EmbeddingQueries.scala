@@ -36,10 +36,17 @@ object EmbeddingQueries {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
 
-  /** exact nano-cosine (see class doc) */
+  /** exact nano-cosine (see class doc). Zero-norm vectors raise loudly:
+    * the division would be NaN, which DuckDB refuses to cast to BIGINT
+    * while Spark's floor silently yields 0 — the one input where the
+    * "identical doubles" argument breaks, so it must never reach it.
+    */
   private def cosNano(d: Column, na: Column, nb: Column): Column =
-    floor((d.cast("double") /
-      (sqrt(na.cast("double")) * sqrt(nb.cast("double")))) * lit(1e9)).cast("long")
+    when(na > 0L && nb > 0L,
+      floor((d.cast("double") /
+        (sqrt(na.cast("double")) * sqrt(nb.cast("double")))) * lit(1e9)).cast("long"))
+      .otherwise(raise_error(lit(
+        "cosNano: zero-norm embedding — cosine undefined; engines disagree on NaN")))
 
   /** the DuckDB twin of [[cosNano]] over a BIGINT dot product expression */
   private def duckCosNano(dotExpr: String, naExpr: String, nbExpr: String): String =

@@ -259,17 +259,24 @@ object TextQueries {
         expr("size(regexp_extract_all(text, '[.!?,;:]', 0))").cast("long").as("n_punct"),
         expr("size(regexp_extract_all(concat(' ', lower(text), ' '), " +
           "' (the|a|of|and|to|in) ', 0))").cast("long").as("n_stop"))
-        // NANO-unit ratios (floor of identical doubles — see jaccard note)
+        // NANO-unit ratios (floor of identical doubles — see jaccard note).
+        // Zero-token docs raise loudly: NaN/Inf floor differently across
+        // engines (DuckDB errors on the BIGINT cast, Spark yields 0), so
+        // the undefined case must never reach the conversion.
+        .withColumn("_tok", when(col("n_tokens") > 0L, col("n_tokens"))
+          .otherwise(raise_error(concat(
+            lit("quality ratios undefined for zero-token doc "), col("doc_id")))))
         .withColumn("avg_token_len_nano",
-          floor(col("n_chars").cast("double") / col("n_tokens").cast("double")
+          floor(col("n_chars").cast("double") / col("_tok").cast("double")
             * lit(1e9)).cast("long"))
         .withColumn("stop_ratio_nano",
-          floor(col("n_stop").cast("double") / col("n_tokens").cast("double")
+          floor(col("n_stop").cast("double") / col("_tok").cast("double")
             * lit(1e9)).cast("long"))
         .withColumn("quality_score_nano",
-          floor((least(col("n_tokens").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
-            + col("n_stop").cast("double") / col("n_tokens").cast("double") * lit(2.0))
+          floor((least(col("_tok").cast("double") / lit(100.0), lit(1.0)) * lit(0.5)
+            + col("n_stop").cast("double") / col("_tok").cast("double") * lit(2.0))
             * lit(1e9)).cast("long"))
+        .drop("_tok")
     })
 
   val oracles: Map[String, String] = Map(

@@ -360,23 +360,30 @@ object GzArchive {
             throw new java.io.IOException(s"archive publish rename to $dst failed")
         }
     }
+    // atomic cursor swap: readers trust only the cursor, so there must
+    // never be a truncated or missing one. TableIO.writeAtomic supplies the
+    // per-attempt-unique tmp + rename-with-overwrite — a FIXED tmp name
+    // would let two racing writers (zombie + fenced successor) interleave
+    // into one tmp and publish a torn cursor.
+    val tio = new graft.lake.TableIO(root, spark)
     acks.groupBy(_._1).foreach { case (p, files) =>
       val latest = files.maxBy(_._2)
       val rel = f"$topic-$p%05d-${latest._2}%012d.index.json"
       val key = if (datePrefix.isEmpty) rel else s"$datePrefix/$rel"
-      // atomic cursor swap (tmp + rename-with-overwrite): readers trust only
-      // the cursor, so there must never be a truncated or missing one
-      val cur = new Path(root, cursorFileName(topic, p))
-      val tmp = new Path(root, cursorFileName(topic, p) + ".tmp")
-      val out = fs.create(tmp, true)
-      out.write(key.getBytes("UTF-8"))
-      out.close()
-      org.apache.hadoop.fs.FileContext
-        .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
-        .rename(fs.makeQualified(tmp), fs.makeQualified(cur),
-          org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+      tio.writeAtomic(new Path(root, cursorFileName(topic, p)), key)
     }
     fs.delete(new Path(root, s".inprogress/job-$jobTag"), true)
+    // reap stale job dirs from FAILED/crashed writers: each job's staging is
+    // UUID-named, so nothing else would ever reclaim it — without this
+    // sweep a flaky pipeline accumulates dead .gz bytes forever (the same
+    // lazy-reap pattern as Staging.maintain and the journal's tombstones)
+    val inprog = new Path(root, ".inprogress")
+    if (fs.exists(inprog)) {
+      val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      fs.listStatus(inprog).foreach { st =>
+        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true): Unit
+      }
+    }
   }
 
   // ----------------------------------------------------------------- read
@@ -395,7 +402,8 @@ object GzArchive {
       firstRecordOffset: Long,
       numRecords: Long,
       minOffsetExclusive: Long,
-      headerLen: Long)
+      headerLen: Long,
+      isLast: Boolean)
 
   final case class GzRecord(topic: String, partition: Int, offset: Long, value: String)
   final case class GzRecordH(topic: String, partition: Int, offset: Long,
@@ -463,8 +471,11 @@ object GzArchive {
     val dataFile = new Path(f.status.getPath.getParent,
       f.status.getPath.getName.stripSuffix(".index.json") + ".gz").toString
     val headerLen = idx.chunks.headOption.map(_.byteOffset).getOrElse(0L)
-    idx.chunks.map(c => ChunkTask(dataFile, f.topic, f.partition, c.byteOffset,
-      c.byteLength, c.firstRecordOffset, c.numRecords, Long.MinValue, headerLen))
+    idx.chunks.zipWithIndex.map { case (c, i) =>
+      ChunkTask(dataFile, f.topic, f.partition, c.byteOffset,
+        c.byteLength, c.firstRecordOffset, c.numRecords, Long.MinValue,
+        headerLen, isLast = i == idx.chunks.size - 1)
+    }
   }
 
   private def gzipMagic(buf: Array[Byte]): Boolean =
@@ -543,25 +554,33 @@ object GzArchive {
           val r = new BufferedReader(new InputStreamReader(
             new GZIPInputStream(new ByteArrayInputStream(buf)), "UTF-8"))
           val out = scala.collection.mutable.ArrayBuffer.empty[GzRecordH]
-          // lines past num_records are FORMAT TRAILER bytes, not records:
-          // the reference writes `format.finish` through the record path
-          // with recordCount 0 (S3SinkTask.java:213-215), so they share the
-          // chunk's byte space but not its record count — they are skipped
-          // here and surfaced per file by [[fileMeta]]. Decoding FEWER
-          // lines than the index declares is still loud corruption.
+          // Lines past num_records in the file's LAST chunk are FORMAT
+          // TRAILER bytes, not records: the reference writes `format.finish`
+          // through the record path with recordCount 0
+          // (S3SinkTask.java:213-215), so they share the chunk's byte space
+          // but not its record count — skipped here, surfaced per file by
+          // [[fileMeta]]. In any NON-last chunk surplus lines can only mean
+          // corruption (a trailer lives at file end by construction), and
+          // decoding FEWER lines than the index declares is corruption
+          // anywhere — both stay loud.
           var line = r.readLine()
           var off = t.firstRecordOffset
+          var surplus = 0L
           while (line != null) {
             if (off - t.firstRecordOffset < t.numRecords) {
               if (off > t.minOffsetExclusive)
                 out += GzRecordH(t.topic, t.partition, off, line, header)
               off += 1
-            }
+            } else surplus += 1
             line = r.readLine()
           }
           require(off - t.firstRecordOffset == t.numRecords,
             s"chunk ${t.file}@${t.byteOffset} decoded ${off - t.firstRecordOffset} records, " +
               s"index says ${t.numRecords}")
+          require(t.isLast || surplus == 0L,
+            s"chunk ${t.file}@${t.byteOffset} decoded $surplus surplus lines " +
+              "in a non-final chunk — corrupt data (an embedded line " +
+              "terminator?); only the last chunk may carry trailer bytes")
           out
         }
       }
