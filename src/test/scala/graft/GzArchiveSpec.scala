@@ -423,6 +423,34 @@ class GzArchiveSpec extends AnyFunSuite {
     assert(res.passed, res.status.toString)
   }
 
+  test("surplus lines in a NON-last chunk fail loudly (only trailers may trail)") {
+    // trailer bytes legitimately follow the last chunk's records; the same
+    // surplus anywhere else means corruption (e.g. an embedded line
+    // terminator shifting offsets) and must never be silently skipped
+    val root = SparkTestSession.tempDir("gzcorrupt")
+    val dir = new Path(root)
+    val w = new GzArchive.BlockGzWriter(localFs, dir, "t-00000", 0L, 64L)
+    (0 until 12).foreach(i => w.write(s"record number $i\n".getBytes("UTF-8")))
+    w.close()
+    assert(w.numChunks >= 2, "fixture needs a non-last chunk")
+    // simulate the corruption: claim chunk 0 holds one record fewer than
+    // its bytes decode to
+    val idxPath = new Path(dir, "t-00000-000000000000.index.json")
+    val idx = GzArchive.parseIndex(new String(readFileBytes(idxPath, 0,
+      localFs.getFileStatus(idxPath).getLen.toInt), "UTF-8"))
+    val skewed = idx.copy(chunks = idx.chunks.zipWithIndex.map {
+      case (c, 0) => c.copy(numRecords = c.numRecords - 1)
+      case (c, _) => c
+    })
+    val out = localFs.create(idxPath, true)
+    out.write(GzArchive.indexJson(skewed).getBytes("UTF-8"))
+    out.close()
+    val e = intercept[Exception] { GzArchive.read(spark, root).count() }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ messages(x.getCause))
+    assert(messages(e).exists(_.contains("surplus")))
+  }
+
   test("empty input writes no files and publishes no cursors") {
     import spark.implicits._
     val root = SparkTestSession.tempDir("gzemptyin") + "/arch"
