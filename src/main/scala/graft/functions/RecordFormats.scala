@@ -103,8 +103,19 @@ object RecordFormats {
       * mid-record is corrupt (BytesRecordReader.java:92-94)
       */
     def decodeAll(bytes: Array[Byte]): Seq[Framed] = {
+      val (records, consumed) = decodeUpTo(bytes, Long.MaxValue)
+      if (consumed != bytes.length) throw corrupt(consumed)
+      records
+    }
+
+    /** decode at most `maxRecords` records; returns (records, bytesConsumed)
+      * — the bounded form an archive chunk read needs, where bytes past the
+      * declared record count are format TRAILER, not corruption
+      */
+    def decodeUpTo(bytes: Array[Byte], maxRecords: Long): (Seq[Framed], Int) = {
       val buf = ByteBuffer.wrap(bytes)
       val out = Seq.newBuilder[Framed]
+      var n = 0L
       def readChunk(): Array[Byte] = {
         if (buf.remaining() < 4) throw corrupt(buf.position())
         val len = buf.getInt
@@ -113,11 +124,12 @@ object RecordFormats {
         buf.get(a)
         a
       }
-      while (buf.hasRemaining) {
+      while (buf.hasRemaining && n < maxRecords) {
         val key = if (includeKeys) readChunk() else Array.empty[Byte]
         out += Framed(key, readChunk())
+        n += 1
       }
-      out.result()
+      (out.result(), buf.position())
     }
 
     private def corrupt(at: Int) =

@@ -370,6 +370,29 @@ object CdcQueries {
       agg.join(broadcast(next), Seq("partition"))
     },
 
+    // F3/F4 × S2-S5 — the BINARY container end to end: length-prefixed
+    // records inside block-gzip chunks, the reference's `binary` format
+    // (its binary system-test dump, system_test/run.py:331-373). The point
+    // of the binary format: values keep ARBITRARY bytes — no delimiter
+    // constraint — so content flows through unguarded.
+    "cdc_gz_archive_binary" -> { (s, dir) =>
+      val (root, ready) = Staging.cached(s, "gzarch-bin-" + dirTag(dir))
+      if (!ready) {
+        val recs = changes(s, dir).select(col("partition"), col("offset"),
+          encode(concat(col("repo"), lit("/"), col("path")), "UTF-8").as("key"),
+          encode(coalesce(col("content"), lit("")), "UTF-8").as("value"))
+        graft.sources.GzArchive.writeArchiveBinary(recs, root, "changes",
+          "offset", chunkThreshold = 4096, recordsPerFile = 5000)
+        Staging.markReady(s, root)
+      }
+      graft.sources.GzArchive.readBinary(s, root)
+        .groupBy(col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          sum(md5SumTerm(decode(col("key"), "UTF-8"))).as("key_sum"),
+          sum(md5SumTerm(decode(col("value"), "UTF-8"))).as("value_sum"))
+    },
+
     // F3/F4 — length-prefixed binary framing roundtrip: big-endian int4
     // length before key and value bytes (ByteLengthFormat port), built and
     // re-parsed entirely inside codegen'd expressions over a hex transcript
@@ -557,6 +580,16 @@ object CdcQueries {
         |       count(*) - 1 AS max_offset,
         |       CAST(sum(${duckMd5SumTerm("repo || '/' || path || chr(9) || coalesce(content, '')")}) AS BIGINT) AS line_sum,
         |       count(*) AS next_offset
+        |FROM changes GROUP BY 1""".stripMargin),
+
+    // binary container: archive offsets dense from 0 per partition; key =
+    // repo/path, value = content, both checksummed independently
+    "cdc_gz_archive_binary" -> duck(
+      s"""SELECT partition, count(*) AS n,
+        |       CAST(0 AS BIGINT) AS min_offset,
+        |       count(*) - 1 AS max_offset,
+        |       CAST(sum(${duckMd5SumTerm("repo || '/' || path")}) AS BIGINT) AS key_sum,
+        |       CAST(sum(${duckMd5SumTerm("coalesce(content, '')")}) AS BIGINT) AS value_sum
         |FROM changes GROUP BY 1""".stripMargin),
 
     "cdc_gz_archive_resume" -> duck(

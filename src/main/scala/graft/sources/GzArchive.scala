@@ -6,7 +6,7 @@ import java.util.zip.{GZIPInputStream, GZIPOutputStream}
 import graft.lake.Json
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 import org.apache.spark.TaskContext
-import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, Row, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -261,14 +261,65 @@ object GzArchive {
       datePrefix: String = "",
       header: Array[Byte] = Array.emptyByteArray,
       trailer: Array[Byte] = Array.emptyByteArray,
+      startOffsets: Map[Int, Long] = Map.empty): Unit =
+    writeArchivePayload(
+      df.select(col("partition"), col(sortCol).as("_sort"),
+        // text framing: record bytes = line + trailing newline, UTF-8 (the
+        // reference's text format emits its own delimiter)
+        encode(concat(col("line"), lit("\n")), "UTF-8").as("payload")),
+      root, topic, chunkThreshold, recordsPerFile, datePrefix, header,
+      trailer, startOffsets)
+
+  /** `[len:int4 BE][bytes]` built inside codegen (octet_length → hex →
+    * 8-wide lpad → unhex = the big-endian 4-byte length the reference's
+    * ByteLengthFormat writes, common/.../ByteLengthFormat.java:43-56)
+    */
+  private def lenPrefixed(b: Column): Column =
+    concat(unhex(lpad(hex(octet_length(b)), 8, "0")), b)
+
+  /** The BINARY container variant: length-prefixed records (the reference's
+    * `binary` format alias) inside the same block-gzip chunks — the shape
+    * its binary system-test dump exercises (system_test/run.py:331-373).
+    * `df` must have (partition INT, a sort column, key BINARY, value
+    * BINARY); unlike the text container there is NO delimiter constraint —
+    * payloads may contain any bytes, including line terminators.
+    */
+  def writeArchiveBinary(
+      df: DataFrame,
+      root: String,
+      topic: String,
+      sortCol: String,
+      includeKeys: Boolean = true,
+      chunkThreshold: Long = 64L * 1024 * 1024,
+      recordsPerFile: Long = Long.MaxValue,
+      datePrefix: String = "",
       startOffsets: Map[Int, Long] = Map.empty): Unit = {
+    val payload =
+      if (includeKeys) concat(lenPrefixed(col("key")), lenPrefixed(col("value")))
+      else lenPrefixed(col("value"))
+    writeArchivePayload(
+      df.select(col("partition"), col(sortCol).as("_sort"), payload.as("payload")),
+      root, topic, chunkThreshold, recordsPerFile, datePrefix,
+      Array.emptyByteArray, Array.emptyByteArray, startOffsets)
+  }
+
+  private def writeArchivePayload(
+      df: DataFrame,
+      root: String,
+      topic: String,
+      chunkThreshold: Long,
+      recordsPerFile: Long,
+      datePrefix: String,
+      header: Array[Byte],
+      trailer: Array[Byte],
+      startOffsets: Map[Int, Long]): Unit = {
     require(recordsPerFile > 0, "recordsPerFile must be positive")
     val spark = df.sparkSession
     val conf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
     val base = df.select(col("partition").cast("int").as("partition"),
-      col(sortCol).as("_sort"), col("line"))
+      col("_sort"), col("payload"))
     val withStart =
       if (startOffsets.isEmpty) base.withColumn("_start", lit(0L))
       else {
@@ -283,7 +334,7 @@ object GzArchive {
       // default Long.MaxValue this is 0 — one file per partition). pmod, not
       // div*mul, so Long.MaxValue cannot overflow.
       .withColumn("_file", col("_aoff") - pmod(col("_aoff"), lit(recordsPerFile)))
-      .select(col("partition"), col("_file"), col("_aoff"), col("line"))
+      .select(col("partition"), col("_file"), col("_aoff"), col("payload"))
 
     val hdr = header // avoid closing over the outer args object
     val trlr = trailer
@@ -330,7 +381,7 @@ object GzArchive {
             // start, which begins mid-boundary)
             bw = new BlockGzWriter(fs, tmpDir, f"$topic-$p%05d", aoff, thr, hdr)
           }
-          bw.write((r.getString(3) + "\n").getBytes("UTF-8"))
+          bw.write(r.getAs[Array[Byte]](3)) // full framed record bytes
         }
         commitW()
       }
@@ -663,6 +714,72 @@ object GzArchive {
       }
     }
     readTasks(spark, tasks)
+  }
+
+  final case class GzBinRecord(topic: String, partition: Int, offset: Long,
+      key: Array[Byte], value: Array[Byte])
+
+  /** strict full decompression of a (possibly multi-member) gzip range */
+  private def gunzipStrict(buf: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    val in = new GZIPInputStream(new ByteArrayInputStream(buf))
+    val b = new Array[Byte](8192)
+    var n = in.read(b)
+    while (n >= 0) { out.write(b, 0, n); n = in.read(b) }
+    out.toByteArray
+  }
+
+  private def readBinaryTasks(spark: SparkSession, tasks: Seq[ChunkTask],
+      includeKeys: Boolean): DataFrame = {
+    import spark.implicits._
+    val conf = spark.sparkContext.broadcast(
+      new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
+    val n = math.max(1, math.min(tasks.size, spark.sparkContext.defaultParallelism))
+    spark.createDataset(tasks).repartition(n).mapPartitions { it =>
+      var fs: FileSystem = null
+      val fmt = new graft.functions.RecordFormats.ByteLengthFormat(includeKeys)
+      it.flatMap { t =>
+        if (fs == null) fs = new Path(t.file).getFileSystem(conf.value.value)
+        val data = gunzipStrict(chunkBytes(fs, t.file, t.byteOffset, t.byteLength))
+        // bounded decode: bytes past num_records in the LAST chunk are
+        // format trailer (same rule as the text read); anywhere else, or a
+        // short decode, is loud corruption
+        val (records, consumed) = fmt.decodeUpTo(data, t.numRecords)
+        require(records.length.toLong == t.numRecords,
+          s"chunk ${t.file}@${t.byteOffset} decoded ${records.length} binary " +
+            s"records, index says ${t.numRecords}")
+        require(t.isLast || consumed == data.length,
+          s"chunk ${t.file}@${t.byteOffset} has ${data.length - consumed} " +
+            "surplus bytes in a non-final chunk — corrupt data")
+        records.iterator.zipWithIndex.collect {
+          case (rec, i) if t.firstRecordOffset + i > t.minOffsetExclusive =>
+            GzBinRecord(t.topic, t.partition, t.firstRecordOffset + i,
+              rec.key, rec.value)
+        }
+      }
+    }.toDF()
+  }
+
+  /** full scan of a BINARY-format archive (length-prefixed records —
+    * [[writeArchiveBinary]]'s output or a reference `binary`-format bucket),
+    * chunk-parallel like [[read]]
+    */
+  def readBinary(spark: SparkSession, root: String,
+      includeKeys: Boolean = true): DataFrame =
+    readBinaryTasks(spark, listTasks(spark, root), includeKeys)
+
+  /** [[readFrom]] for binary archives: index-pruned ranged resume */
+  def readBinaryFrom(spark: SparkSession, root: String, committed: Map[Int, Long],
+      includeKeys: Boolean = true): DataFrame = {
+    val tasks = listTasks(spark, root).flatMap { t =>
+      committed.get(t.partition) match {
+        case None => Some(t)
+        case Some(c) if t.firstRecordOffset + t.numRecords > c + 1 =>
+          Some(t.copy(minOffsetExclusive = c))
+        case _ => None
+      }
+    }
+    readBinaryTasks(spark, tasks, includeKeys)
   }
 
   /** Cursor-derived per-partition NEXT offsets — the port of

@@ -451,6 +451,43 @@ class GzArchiveSpec extends AnyFunSuite {
     assert(messages(e).exists(_.contains("surplus")))
   }
 
+  test("binary container round-trips arbitrary bytes; index-pruned resume") {
+    import spark.implicits._
+    // the binary format's whole point: records may contain line
+    // terminators, tabs, zero bytes — everything the text container guards
+    // against (ByteLengthFormatTest's tabs/newlines case at container level)
+    val root = SparkTestSession.tempDir("gzbin")
+    val mk = (p: Int, i: Int) =>
+      (p, i.toLong, s"k$p-$i".getBytes("UTF-8"),
+        s"v\t$i\nwith\rterminators $i".getBytes("UTF-8"))
+    val df = (0 until 2).flatMap(p => (0 until 80).map(i => mk(p, i)))
+      .toDF("partition", "k", "key", "value")
+    GzArchive.writeArchiveBinary(df, root, "t", "k",
+      chunkThreshold = 512, recordsPerFile = 30)
+
+    // files roll at 30 records, cursors publish
+    assert(GzArchive.fetchOffsets(spark, root, "t") === Map(0 -> 80L, 1 -> 80L))
+    val back = GzArchive.readBinary(spark, root)
+      .orderBy("partition", "offset").collect()
+    assert(back.length === 160)
+    back.zipWithIndex.foreach { case (r, idx) =>
+      val (p, i) = (idx / 80, idx % 80)
+      assert(r.getInt(1) === p)
+      assert(r.getLong(2) === i.toLong)
+      assert(new String(r.getAs[Array[Byte]](3), "UTF-8") === s"k$p-$i")
+      assert(r.getAs[Array[Byte]](4).toSeq === mk(p, i)._4.toSeq,
+        "value bytes incl. terminators must round-trip exactly")
+    }
+
+    // resume prunes whole chunks via the index, filters the boundary chunk
+    val resumed = GzArchive.readBinaryFrom(spark, root, Map(0 -> 70L, 1 -> 9L))
+    val byPart = resumed.groupBy("partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("first"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(byPart(0) === ((9L, 71L)))
+    assert(byPart(1) === ((70L, 10L)))
+  }
+
   test("empty input writes no files and publishes no cursors") {
     import spark.implicits._
     val root = SparkTestSession.tempDir("gzemptyin") + "/arch"
