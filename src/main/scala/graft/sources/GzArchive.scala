@@ -381,7 +381,10 @@ object GzArchive {
             // start, which begins mid-boundary)
             bw = new BlockGzWriter(fs, tmpDir, f"$topic-$p%05d", aoff, thr, hdr)
           }
-          bw.write(r.getAs[Array[Byte]](3)) // full framed record bytes
+          val payload = r.getAs[Array[Byte]](3) // full framed record bytes
+          require(payload != null,
+            "null archive record payload (null key/value column? coalesce upstream)")
+          bw.write(payload)
         }
         commitW()
       }
