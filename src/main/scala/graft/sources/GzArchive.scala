@@ -383,7 +383,8 @@ object GzArchive {
           }
           val payload = r.getAs[Array[Byte]](3) // full framed record bytes
           require(payload != null,
-            "null archive record payload (null key/value column? coalesce upstream)")
+            "null archive record payload — a null line (text container) or " +
+              "null key/value (binary container); coalesce upstream")
           bw.write(payload)
         }
         commitW()
@@ -402,6 +403,11 @@ object GzArchive {
       .map { case ((p, first), reports) => (p, first, reports.map(_._3).max) }
       .toSeq.sortBy(t => (t._1, t._2))
     if (acks.nonEmpty) fs.mkdirs(destDir)
+    // rename-with-OVERWRITE (FileContext is thread-safe), never
+    // delete-then-rename: a crash between the two would leave a
+    // cursor-acknowledged index pointing at a vanished data file
+    val fc = org.apache.hadoop.fs.FileContext
+      .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
     graft.lake.MetaIO.fetchAll(acks) { case (p, first, attempt) =>
       val attemptDir = new Path(root, s".inprogress/job-$jobTag/attempt-$attempt")
       Seq(f"$topic-$p%05d-$first%012d.gz", f"$topic-$p%05d-$first%012d.index.json")
@@ -409,9 +415,8 @@ object GzArchive {
           val tmp = new Path(attemptDir, name)
           val dst = new Path(destDir, name)
           require(fs.exists(tmp), s"attempt $attempt reported $name but left no file")
-          fs.delete(dst, false) // overwrite a previous run's file of the same name
-          if (!fs.rename(tmp, dst))
-            throw new java.io.IOException(s"archive publish rename to $dst failed")
+          fc.rename(fs.makeQualified(tmp), fs.makeQualified(dst),
+            org.apache.hadoop.fs.Options.Rename.OVERWRITE)
         }
     }
     // atomic cursor swap: readers trust only the cursor, so there must
@@ -434,8 +439,18 @@ object GzArchive {
     val inprog = new Path(root, ".inprogress")
     if (fs.exists(inprog)) {
       val cutoff = System.currentTimeMillis() - 24L * 3600 * 1000
+      // staleness = the NEWEST mtime anywhere under the job dir, not the
+      // top-level dir's (which goes stale as soon as its attempt dirs are
+      // created — a long-running concurrent writer's live staging must not
+      // be swept from under it)
+      def newestMtime(p: Path): Long = {
+        val sts = fs.listStatus(p)
+        (fs.getFileStatus(p).getModificationTime +: sts.toSeq.map { s =>
+          if (s.isDirectory) newestMtime(s.getPath) else s.getModificationTime
+        }).max
+      }
       fs.listStatus(inprog).foreach { st =>
-        if (st.getModificationTime < cutoff) fs.delete(st.getPath, true): Unit
+        if (newestMtime(st.getPath) < cutoff) fs.delete(st.getPath, true): Unit
       }
     }
   }
