@@ -153,6 +153,46 @@ class JournalSpec extends AnyFunSuite {
     assert(cold.nextOffsets() === Map(0 -> 400L, 1 -> 400L))
   }
 
+  test("interleaved appends and truncates: reads stay exact, tombstones drain") {
+    import graft.gen.ChangeGen
+    val root = SparkTestSession.tempDir("jinterleave")
+    val j = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
+    val changes = ChangeGen.changes(spark, 1200, partitions = 2) // 600/partition
+    def slice(lo: Long, hi: Long) =
+      changes.filter(col("offset") >= lo && col("offset") < hi)
+    var batch = 0L
+    var wm = -1L
+    (0 until 6).foreach { i =>
+      j.append(slice(i * 100L, (i + 1) * 100L), batch)
+      batch += 1
+      if (i % 2 == 1) {
+        // retention rides the "lake watermark" forward; mixed grace values
+        // exercise both the deferred (tombstoned) and immediate reap paths
+        wm = i * 100L - 50L
+        j.truncate(Map(0 -> wm, 1 -> wm),
+          graceMs = if (i % 4 == 1) Long.MaxValue / 2 else 0L)
+      }
+    }
+    // surviving rows = exactly those above the last watermark's (450) file
+    // floor: files whose max offset <= wm dropped whole (…the 300-399 file
+    // included), straddlers kept whole — files are 100-aligned
+    val expect = changes.filter(col("offset") >= 400L)
+    val got = j.read().select("partition", "offset", "content")
+    val want = expect.select("partition", "offset", "content")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // resume offsets always track the newest append, never retention
+    assert(j.nextOffsets() === Map(0 -> 600L, 1 -> 600L))
+    // a final zero-grace truncate drains every ripe tombstone
+    j.truncate(Map(0 -> -1L, 1 -> -1L), graceMs = 0L)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "pending-delete.json")),
+      "drained tombstone list removes itself")
+    // and a cold reader still sees the exact surviving log
+    val cold = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
+    val coldGot = cold.read().select("partition", "offset", "content")
+    assert(coldGot.exceptAll(want).isEmpty && want.exceptAll(coldGot).isEmpty)
+  }
+
   test("multi-append: offsets continue, journal holds the full log") {
     val root = SparkTestSession.tempDir("jmulti")
     val j = new ChangeJournal(root, spark, 2048)
