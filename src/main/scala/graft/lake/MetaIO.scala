@@ -20,6 +20,14 @@ object MetaIO {
       })
 
   def fetchAll[A, B](items: Seq[A])(f: A => B): Seq[B] = {
+    // Re-entrancy guard: a callback that itself calls fetchAll (e.g. an
+    // archive listing resolving per-file metadata) would otherwise deadlock
+    // the fixed pool — all 8 threads blocking on futures queued behind
+    // themselves. On a pool thread, run inline instead: correctness is
+    // identical (order preserved), and the outer call already owns the
+    // parallelism.
+    if (Thread.currentThread().getName.startsWith("graft-meta-io"))
+      return items.map(f)
     val futs = items.map { a =>
       pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
     }

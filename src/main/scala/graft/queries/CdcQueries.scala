@@ -370,6 +370,34 @@ object CdcQueries {
       agg.join(broadcast(next), Seq("partition"))
     },
 
+    // S1/S2 topic-SET interop — ONE bucket holding TWO topics' file
+    // families (the reference's source reads topic sets per task,
+    // S3SourceTask.java:82-94, with a topic filter in the listing,
+    // S3FilesReader.java:82-105): the change log splits by op into
+    // `upserts`/`deletes` topics, archived in one writeArchiveTopics job
+    // (per-(topic,partition) dense offsets, per-(topic,partition) cursors),
+    // then read back with the topic-set cursor-trusted read — each record
+    // carrying its topic, checksummed per (topic, partition).
+    "cdc_gz_archive_multitopic" -> { (s, dir) =>
+      val (root, ready) = Staging.cached(s, "gzarch-multi-" + dirTag(dir))
+      if (!ready) {
+        val lines = changes(s, dir).select(
+          when(col("op") === "delete", lit("deletes"))
+            .otherwise(lit("upserts")).as("topic"),
+          col("partition"), col("offset"),
+          noNewline(concat(col("repo"), lit("/"), col("path"), lit("\t"),
+            coalesce(col("content"), lit("")))).as("line"))
+        graft.sources.GzArchive.writeArchiveTopics(lines, root, "offset",
+          chunkThreshold = 4096, recordsPerFile = 2000)
+        Staging.markReady(s, root)
+      }
+      graft.sources.GzArchive.readCommittedTopics(s, root)
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          sum(md5SumTerm(col("value"))).as("line_sum"))
+    },
+
     // F3/F4 × S2-S5 — the BINARY container end to end: length-prefixed
     // records inside block-gzip chunks, the reference's `binary` format
     // (its binary system-test dump, system_test/run.py:331-373). The point
@@ -581,6 +609,17 @@ object CdcQueries {
         |       CAST(sum(${duckMd5SumTerm("repo || '/' || path || chr(9) || coalesce(content, '')")}) AS BIGINT) AS line_sum,
         |       count(*) AS next_offset
         |FROM changes GROUP BY 1""".stripMargin),
+
+    // two-topic bucket: archive offsets dense from 0 per (topic, partition)
+    // — ordered by the change-log offset within each topic — so min is 0 and
+    // max is the per-group count minus one
+    "cdc_gz_archive_multitopic" -> duck(
+      s"""SELECT CASE WHEN op = 'delete' THEN 'deletes' ELSE 'upserts' END AS topic,
+        |       partition, count(*) AS n,
+        |       CAST(0 AS BIGINT) AS min_offset,
+        |       count(*) - 1 AS max_offset,
+        |       CAST(sum(${duckMd5SumTerm("repo || '/' || path || chr(9) || coalesce(content, '')")}) AS BIGINT) AS line_sum
+        |FROM changes GROUP BY 1, 2""".stripMargin),
 
     // binary container: archive offsets dense from 0 per partition; key =
     // repo/path, value = content, both checksummed independently

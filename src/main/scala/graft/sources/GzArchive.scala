@@ -263,11 +263,35 @@ object GzArchive {
       trailer: Array[Byte] = Array.emptyByteArray,
       startOffsets: Map[Int, Long] = Map.empty): Unit =
     writeArchivePayload(
-      df.select(col("partition"), col(sortCol).as("_sort"),
+      df.select(lit(topic).as("topic"), col("partition"), col(sortCol).as("_sort"),
         // text framing: record bytes = line + trailing newline, UTF-8 (the
         // reference's text format emits its own delimiter)
         encode(concat(col("line"), lit("\n")), "UTF-8").as("payload")),
-      root, topic, chunkThreshold, recordsPerFile, datePrefix, header,
+      root, chunkThreshold, recordsPerFile, datePrefix, header,
+      trailer, startOffsets.map { case (p, o) => (topic, p) -> o })
+
+  /** Multi-topic archive write: one bucket holding several topics' file
+    * families, the layout the reference's source reads with a topic-SET
+    * filter (source/.../S3SourceTask.java:82-94; S3FilesReader.java:82-105).
+    * `df` must carry (topic STRING, partition INT, `sortCol`, line STRING);
+    * offsets are per-(topic, partition) consecutive, cursors publish per
+    * (topic, partition) — each topic's file family is exactly what
+    * [[writeArchive]] would have produced alone.
+    */
+  def writeArchiveTopics(
+      df: DataFrame,
+      root: String,
+      sortCol: String,
+      chunkThreshold: Long = 64L * 1024 * 1024,
+      recordsPerFile: Long = Long.MaxValue,
+      datePrefix: String = "",
+      header: Array[Byte] = Array.emptyByteArray,
+      trailer: Array[Byte] = Array.emptyByteArray,
+      startOffsets: Map[(String, Int), Long] = Map.empty): Unit =
+    writeArchivePayload(
+      df.select(col("topic"), col("partition"), col(sortCol).as("_sort"),
+        encode(concat(col("line"), lit("\n")), "UTF-8").as("payload")),
+      root, chunkThreshold, recordsPerFile, datePrefix, header,
       trailer, startOffsets)
 
   /** `[len:int4 BE][bytes]` built inside codegen (octet_length → hex →
@@ -298,43 +322,47 @@ object GzArchive {
       if (includeKeys) concat(lenPrefixed(col("key")), lenPrefixed(col("value")))
       else lenPrefixed(col("value"))
     writeArchivePayload(
-      df.select(col("partition"), col(sortCol).as("_sort"), payload.as("payload")),
-      root, topic, chunkThreshold, recordsPerFile, datePrefix,
-      Array.emptyByteArray, Array.emptyByteArray, startOffsets)
+      df.select(lit(topic).as("topic"), col("partition"), col(sortCol).as("_sort"),
+        payload.as("payload")),
+      root, chunkThreshold, recordsPerFile, datePrefix,
+      Array.emptyByteArray, Array.emptyByteArray,
+      startOffsets.map { case (p, o) => (topic, p) -> o })
   }
 
   private def writeArchivePayload(
       df: DataFrame,
       root: String,
-      topic: String,
       chunkThreshold: Long,
       recordsPerFile: Long,
       datePrefix: String,
       header: Array[Byte],
       trailer: Array[Byte],
-      startOffsets: Map[Int, Long]): Unit = {
+      startOffsets: Map[(String, Int), Long]): Unit = {
     require(recordsPerFile > 0, "recordsPerFile must be positive")
     val spark = df.sparkSession
     val conf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
 
-    val base = df.select(col("partition").cast("int").as("partition"),
+    val base = df.select(col("topic").cast("string").as("topic"),
+      col("partition").cast("int").as("partition"),
       col("_sort"), col("payload"))
     val withStart =
       if (startOffsets.isEmpty) base.withColumn("_start", lit(0L))
       else {
-        val so = spark.createDataFrame(startOffsets.toSeq).toDF("partition", "_start")
-        base.join(broadcast(so), Seq("partition"), "left")
+        val so = spark.createDataFrame(
+          startOffsets.toSeq.map { case ((t, p), o) => (t, p, o) })
+          .toDF("topic", "partition", "_start")
+        base.join(broadcast(so), Seq("topic", "partition"), "left")
           .withColumn("_start", coalesce(col("_start"), lit(0L)))
       }
-    val w = Window.partitionBy(col("partition")).orderBy(col("_sort"))
+    val w = Window.partitionBy(col("topic"), col("partition")).orderBy(col("_sort"))
     val assigned = withStart
       .withColumn("_aoff", row_number().over(w).cast("long") - 1L + col("_start"))
       // file first-offset: aligned to multiples of recordsPerFile (for the
-      // default Long.MaxValue this is 0 — one file per partition). pmod, not
-      // div*mul, so Long.MaxValue cannot overflow.
+      // default Long.MaxValue this is 0 — one file per topic-partition).
+      // pmod, not div*mul, so Long.MaxValue cannot overflow.
       .withColumn("_file", col("_aoff") - pmod(col("_aoff"), lit(recordsPerFile)))
-      .select(col("partition"), col("_file"), col("_aoff"), col("payload"))
+      .select(col("topic"), col("partition"), col("_file"), col("_aoff"), col("payload"))
 
     val hdr = header // avoid closing over the outer args object
     val trlr = trailer
@@ -352,36 +380,38 @@ object GzArchive {
     // exists to exclude).
     val jobTag = java.util.UUID.randomUUID().toString
     val written = spark.sparkContext
-      .collectionAccumulator[(Int, Long, Long)]("gzarchive-written")
+      .collectionAccumulator[(String, Int, Long, Long)]("gzarchive-written")
     assigned
-      .repartition(col("partition"), col("_file"))
-      .sortWithinPartitions(col("partition"), col("_file"), col("_aoff"))
+      .repartition(col("topic"), col("partition"), col("_file"))
+      .sortWithinPartitions(col("topic"), col("partition"), col("_file"), col("_aoff"))
       .foreachPartition { rows: Iterator[Row] =>
         val fs = new Path(root).getFileSystem(conf.value.value)
         val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
         val tmpDir = new Path(root, s".inprogress/job-$jobTag/attempt-$attempt")
+        var curTopic: String = null
         var curPart = -1
         var curFile = -1L
         var bw: BlockGzWriter = null
         def commitW(): Unit = if (bw != null) {
           if (trlr.nonEmpty) bw.writeRaw(trlr, 0L) // format trailer, 0 records
           bw.close() // data then index, inside the attempt dir only
-          written.add((curPart, bw.firstRecordOffset, attempt))
+          written.add((curTopic, curPart, bw.firstRecordOffset, attempt))
           bw = null
         }
         rows.foreach { r =>
-          val p = r.getInt(0)
-          val file = r.getLong(1)
-          val aoff = r.getLong(2)
-          if (p != curPart || file != curFile) {
+          val t = r.getString(0)
+          val p = r.getInt(1)
+          val file = r.getLong(2)
+          val aoff = r.getLong(3)
+          if (t != curTopic || p != curPart || file != curFile) {
             commitW()
-            curPart = p; curFile = file
+            curTopic = t; curPart = p; curFile = file
             // the file is NAMED by its first actual record offset (= `file`
             // except for the very first file of a partition with a non-zero
             // start, which begins mid-boundary)
-            bw = new BlockGzWriter(fs, tmpDir, f"$topic-$p%05d", aoff, thr, hdr)
+            bw = new BlockGzWriter(fs, tmpDir, f"$t-$p%05d", aoff, thr, hdr)
           }
-          val payload = r.getAs[Array[Byte]](3) // full framed record bytes
+          val payload = r.getAs[Array[Byte]](4) // full framed record bytes
           require(payload != null,
             "null archive record payload — a null line (text container) or " +
               "null key/value (binary container); coalesce upstream")
@@ -399,18 +429,18 @@ object GzArchive {
     val destDir = if (datePrefix.isEmpty) new Path(root) else new Path(root, datePrefix)
     import scala.jdk.CollectionConverters._
     val acks = written.value.asScala.toSeq
-      .groupBy(t => (t._1, t._2)) // a retried task reports twice; pick one
-      .map { case ((p, first), reports) => (p, first, reports.map(_._3).max) }
-      .toSeq.sortBy(t => (t._1, t._2))
+      .groupBy(t => (t._1, t._2, t._3)) // a retried task reports twice; pick one
+      .map { case ((t, p, first), reports) => (t, p, first, reports.map(_._4).max) }
+      .toSeq.sortBy(a => (a._1, a._2, a._3))
     if (acks.nonEmpty) fs.mkdirs(destDir)
     // rename-with-OVERWRITE (FileContext is thread-safe), never
     // delete-then-rename: a crash between the two would leave a
     // cursor-acknowledged index pointing at a vanished data file
     val fc = org.apache.hadoop.fs.FileContext
       .getFileContext(fs.getUri, spark.sparkContext.hadoopConfiguration)
-    graft.lake.MetaIO.fetchAll(acks) { case (p, first, attempt) =>
+    graft.lake.MetaIO.fetchAll(acks) { case (t, p, first, attempt) =>
       val attemptDir = new Path(root, s".inprogress/job-$jobTag/attempt-$attempt")
-      Seq(f"$topic-$p%05d-$first%012d.gz", f"$topic-$p%05d-$first%012d.index.json")
+      Seq(f"$t-$p%05d-$first%012d.gz", f"$t-$p%05d-$first%012d.index.json")
         .foreach { name =>
           val tmp = new Path(attemptDir, name)
           val dst = new Path(destDir, name)
@@ -425,11 +455,11 @@ object GzArchive {
     // would let two racing writers (zombie + fenced successor) interleave
     // into one tmp and publish a torn cursor.
     val tio = new graft.lake.TableIO(root, spark)
-    acks.groupBy(_._1).foreach { case (p, files) =>
-      val latest = files.maxBy(_._2)
-      val rel = f"$topic-$p%05d-${latest._2}%012d.index.json"
+    acks.groupBy(a => (a._1, a._2)).foreach { case ((t, p), files) =>
+      val latest = files.maxBy(_._3)
+      val rel = f"$t-$p%05d-${latest._3}%012d.index.json"
       val key = if (datePrefix.isEmpty) rel else s"$datePrefix/$rel"
-      tio.writeAtomic(new Path(root, cursorFileName(topic, p)), key)
+      tio.writeAtomic(new Path(root, cursorFileName(t, p)), key)
     }
     fs.delete(new Path(root, s".inprogress/job-$jobTag"), true)
     // reap stale job dirs from FAILED/crashed writers: each job's staging is
@@ -550,20 +580,36 @@ object GzArchive {
   private def gzipMagic(buf: Array[Byte]): Boolean =
     buf.length >= 2 && (buf(0) & 0xff) == 0x1f && (buf(1) & 0xff) == 0x8b
 
-  /** Decompress a (possibly multi-member) gzip byte range, tolerating a
-    * truncated trailing member START: a reference-written header file's
+  /** Decompress a (possibly multi-member) gzip byte range, tolerating ONLY
+    * a bare trailing member START: a reference-written header file's
     * recorded header region is 10 bytes too long (the off-by-10 documented
-    * at the BlockGzWriter header fix), so the range ends with a bare member
-    * header and no deflate data — everything before it decodes fine.
+    * at the BlockGzWriter header fix), so the range ends with exactly one
+    * 10-byte gzip member header and no deflate data — everything before it
+    * decodes fine. Any OTHER truncation (EOF mid-deflate, a cut trailer) is
+    * genuine corruption and raises, matching the repo's loud-corruption
+    * convention — a silent partial header would otherwise flow downstream
+    * as a wrong-but-plausible string.
     */
-  private def gunzipTolerant(buf: Array[Byte]): Array[Byte] = {
+  private[graft] def gunzipTolerant(buf: Array[Byte]): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     try {
       val in = new GZIPInputStream(new ByteArrayInputStream(buf))
       val b = new Array[Byte](8192)
       var n = in.read(b)
       while (n >= 0) { out.write(b, 0, n); n = in.read(b) }
-    } catch { case _: java.io.EOFException => () }
+    } catch {
+      case e: java.io.EOFException =>
+        // tolerated iff the range ends with a bare member header: gzip
+        // magic + CM=deflate at exactly len-10 (the 10-byte fixed header
+        // the next GZIPOutputStream wrote before the range was cut)
+        val L = buf.length
+        val bareTrailingHeader = L >= 10 &&
+          (buf(L - 10) & 0xff) == 0x1f && (buf(L - 9) & 0xff) == 0x8b &&
+          (buf(L - 8) & 0xff) == 0x08
+        if (!bareTrailingHeader) throw new java.io.IOException(
+          s"truncated gzip data (${L}B range, EOF mid-member) — corrupt " +
+            "archive bytes or index; not the tolerated bare-trailing-header case", e)
+    }
     out.toByteArray
   }
 
@@ -807,18 +853,38 @@ object GzArchive {
     * S3Writer.java:101-107). Pass the result as `startOffsets` to
     * [[writeArchive]] to continue an existing bucket.
     */
-  def fetchOffsets(spark: SparkSession, root: String, topic: String): Map[Int, Long] = {
-    val rootPath = new Path(root)
-    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(rootPath)) return Map.empty
-    fs.listStatus(rootPath).toSeq.flatMap { s =>
+  def fetchOffsets(spark: SparkSession, root: String, topic: String): Map[Int, Long] =
+    fetchOffsetsTopics(spark, root, Set(topic)).map { case ((_, p), o) => p -> o }
+
+  /** one bucket's cursor files for a topic SET (empty = every topic) — the
+    * reference's source task reads topic sets per task
+    * (S3SourceTask.java:82-94, topic filter S3FilesReader.java:82-105)
+    */
+  private def cursorFiles(fs: FileSystem, rootPath: Path,
+      topics: Set[String]): Seq[(String, Int, Path)] =
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).toSeq.flatMap { s =>
       s.getPath.getName match {
-        case CursorName(t, p) if t == topic && !s.isDirectory =>
-          val key = readSmall(fs, s.getPath).trim
-          val idx = parseIndex(readSmall(fs, new Path(rootPath, key)))
-          Some(p.toInt -> idx.nextOffset)
+        case CursorName(t, p) if !s.isDirectory && (topics.isEmpty || topics(t)) =>
+          Some((t, p.toInt, s.getPath))
         case _ => None
       }
+    }.sortBy(c => (c._1, c._2))
+
+  /** [[fetchOffsets]] over a topic set: per-(topic, partition) next offsets.
+    * Cursor + index reads fan out on the shared metadata pool — at the
+    * reference's own 200-partition cap each cursor is two small object-store
+    * GETs, and a serial driver loop would be 400 round-trips before any
+    * task launches.
+    */
+  def fetchOffsetsTopics(spark: SparkSession, root: String,
+      topics: Set[String] = Set.empty): Map[(String, Int), Long] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    graft.lake.MetaIO.fetchAll(cursorFiles(fs, rootPath, topics)) {
+      case (t, p, path) =>
+        val key = readSmall(fs, path).trim
+        (t, p) -> parseIndex(readSmall(fs, new Path(rootPath, key))).nextOffset
     }.toMap
   }
 
@@ -830,25 +896,31 @@ object GzArchive {
     * story (S3Writer.java:61-81; SURVEY.md §1.3). Partitions with no cursor
     * contribute nothing.
     */
-  def readCommitted(spark: SparkSession, root: String, topic: String): DataFrame = {
+  def readCommitted(spark: SparkSession, root: String, topic: String): DataFrame =
+    readCommittedTopics(spark, root, Set(topic))
+
+  /** [[readCommitted]] over a topic SET (empty = every topic in the bucket):
+    * the records of every cursor-acknowledged file whose topic is in the
+    * set, in one chunk-parallel read — each record carries its topic, so
+    * callers split downstream with an ordinary filter. Cursor reads fan out
+    * on the shared metadata pool (two sequential fan-outs — cursors, then
+    * index fetches — never nested).
+    */
+  def readCommittedTopics(spark: SparkSession, root: String,
+      topics: Set[String] = Set.empty): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val ackFirstOffset: Map[Int, Long] =
-      if (!fs.exists(rootPath)) Map.empty
-      else fs.listStatus(rootPath).toSeq.flatMap { s =>
-        s.getPath.getName match {
-          case CursorName(t, p) if t == topic && !s.isDirectory =>
-            val key = readSmall(fs, s.getPath).trim
-            new Path(key).getName match {
-              case FileName(_, _, off) => Some(p.toInt -> off.toLong)
-              case _ => None
-            }
-          case _ => None
-        }
-      }.toMap
+    val ackFirstOffset: Map[(String, Int), Long] =
+      graft.lake.MetaIO.fetchAll(cursorFiles(fs, rootPath, topics)) {
+        case (t, p, path) =>
+          val key = readSmall(fs, path).trim
+          new Path(key).getName match {
+            case FileName(_, _, off) => Some((t, p) -> off.toLong)
+            case _ => None
+          }
+      }.flatten.toMap
     val acked = listIndexFiles(fs, rootPath)
-      .filter(f => f.topic == topic &&
-        ackFirstOffset.get(f.partition).exists(f.firstOffset <= _))
+      .filter(f => ackFirstOffset.get((f.topic, f.partition)).exists(f.firstOffset <= _))
     readTasks(spark, fetchTasks(fs, root, acked))
   }
 

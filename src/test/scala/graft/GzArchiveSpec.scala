@@ -497,6 +497,114 @@ class GzArchiveSpec extends AnyFunSuite {
     assert(GzArchive.fetchOffsets(spark, root, "t") === Map.empty)
   }
 
+  test("multi-topic bucket: one job, two topics' file families, topic-set reads") {
+    // the reference's source reads topic SETS per task out of one bucket
+    // (S3SourceTask.java:82-94; topic filter S3FilesReader.java:82-105):
+    // one writeArchiveTopics job must produce, per topic, exactly the file
+    // family writeArchive alone would have, with per-(topic,partition)
+    // cursors and offsets
+    import spark.implicits._
+    val root = SparkTestSession.tempDir("gzmulti")
+    val df = (for {
+      t <- Seq("alpha", "beta")
+      p <- 0 until 2
+      i <- 0 until (if (t == "alpha") 60 else 35)
+    } yield (t, p, i.toLong, s"$t p$p rec $i")).toDF("topic", "partition", "k", "line")
+    GzArchive.writeArchiveTopics(df, root, "k",
+      chunkThreshold = 256, recordsPerFile = 25)
+
+    val names = localFs.listStatus(new Path(root)).map(_.getPath.getName).toSet
+    // alpha: 60/25 -> files at 0,25,50; beta: 35/25 -> files at 0,25
+    assert(names.contains("alpha-00000-000000000050.gz"))
+    assert(names.contains("beta-00001-000000000025.gz"))
+    assert(!names.contains("beta-00000-000000000050.gz"))
+    assert(names.contains("last_chunk_index.alpha-00001.txt"))
+    assert(names.contains("last_chunk_index.beta-00000.txt"))
+
+    // per-(topic, partition) next offsets; the single-topic view matches
+    assert(GzArchive.fetchOffsetsTopics(spark, root) === Map(
+      ("alpha", 0) -> 60L, ("alpha", 1) -> 60L,
+      ("beta", 0) -> 35L, ("beta", 1) -> 35L))
+    assert(GzArchive.fetchOffsets(spark, root, "beta") === Map(0 -> 35L, 1 -> 35L))
+
+    // topic-set reads: all topics, a subset, one topic
+    assert(GzArchive.readCommittedTopics(spark, root).count() === 190L)
+    val alphaOnly = GzArchive.readCommittedTopics(spark, root, Set("alpha"))
+    assert(alphaOnly.select("topic").distinct().collect().map(_.getString(0)).toSeq === Seq("alpha"))
+    assert(alphaOnly.count() === 120L)
+    val betaRows = GzArchive.readCommitted(spark, root, "beta")
+      .orderBy("partition", "offset").collect()
+    assert(betaRows.length === 70)
+    assert(betaRows(36).getString(3) === "beta p1 rec 1") // offset order = k
+
+    // interop: each topic's files are byte-identical to a single-topic
+    // writeArchive of the same records into its own bucket
+    val soloRoot = SparkTestSession.tempDir("gzmulti-solo")
+    GzArchive.writeArchive(
+      df.filter($"topic" === "beta").drop("topic"), soloRoot, "beta", "k",
+      chunkThreshold = 256, recordsPerFile = 25)
+    localFs.listStatus(new Path(soloRoot)).map(_.getPath.getName)
+      .filter(n => n.endsWith(".gz") || n.endsWith(".index.json")).foreach { n =>
+        val a = readFileBytes(new Path(root, n), 0,
+          localFs.getFileStatus(new Path(root, n)).getLen.toInt)
+        val b = readFileBytes(new Path(soloRoot, n), 0,
+          localFs.getFileStatus(new Path(soloRoot, n)).getLen.toInt)
+        assert(java.util.Arrays.equals(a, b), s"$n differs from single-topic write")
+      }
+
+    // an orphan in ONE topic (crash between upload and cursor) is excluded
+    // from that topic's committed read, invisible to the other's
+    val w = new GzArchive.BlockGzWriter(localFs, new Path(root),
+      "beta-00000", firstRecordOffset = 35L, chunkThreshold = 256)
+    (0 until 5).foreach(i => w.write(s"orphan $i\n".getBytes("UTF-8")))
+    w.close()
+    assert(GzArchive.readCommittedTopics(spark, root).count() === 190L)
+
+    // resume-append with (topic, partition)-keyed startOffsets
+    val more = Seq(("beta", 1, 0L, "beta more 0"), ("beta", 1, 1L, "beta more 1"))
+      .toDF("topic", "partition", "k", "line")
+    GzArchive.writeArchiveTopics(more, root, "k", chunkThreshold = 256,
+      startOffsets = GzArchive.fetchOffsetsTopics(spark, root))
+    assert(GzArchive.fetchOffsetsTopics(spark, root, Set("beta")) === Map(
+      ("beta", 0) -> 35L, ("beta", 1) -> 37L))
+    val resumed = GzArchive.readCommitted(spark, root, "beta")
+      .filter($"partition" === 1).orderBy("offset").collect()
+    assert(resumed.length === 37)
+    assert(resumed.last.getString(3) === "beta more 1")
+  }
+
+  test("truncated gzip raises; only a bare trailing member header is tolerated") {
+    // gunzipTolerant exists for ONE case — a reference-written header
+    // region that ends with a bare 10-byte member header (the off-by-10).
+    // Any other truncation is corruption and must be loud, not a silent
+    // partial decode.
+    val member = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val gz = new java.util.zip.GZIPOutputStream(bos)
+      gz.write("hello archive".getBytes("UTF-8")); gz.close()
+      bos.toByteArray
+    }
+    val bareHeader = {
+      val bos = new java.io.ByteArrayOutputStream()
+      new java.util.zip.GZIPOutputStream(bos) // header bytes flush on construct
+      bos.toByteArray.take(10)
+    }
+    // tolerated: complete member + bare trailing member header
+    assert(new String(GzArchive.gunzipTolerant(member ++ bareHeader), "UTF-8")
+      === "hello archive")
+    // corrupt: member cut mid-deflate
+    intercept[java.io.IOException] {
+      GzArchive.gunzipTolerant(member.dropRight(15))
+    }
+    // corrupt: member cut mid-trailer (CRC/ISIZE incomplete)
+    intercept[java.io.IOException] {
+      GzArchive.gunzipTolerant(member.dropRight(5))
+    }
+    // (a truncated trailing NEXT-member header — member ++ bareHeader.take(6)
+    // — is swallowed by the JDK itself as clean EOF before any exception we
+    // could classify; benign, since every complete member decoded fully)
+  }
+
   test("executor tasks see the session's Hadoop configuration") {
     // the regression this guards: executor-side `new Configuration()` drops
     // session settings (S3A credentials, endpoints) — archive tasks must
