@@ -73,7 +73,14 @@ object RecordFormats {
       val records0 = if (split.lastOption.contains("")) split.dropRight(1) else split
       val records =
         if (!emitsBom) records0
-        else records0.map(r => if (r.nonEmpty && r.charAt(0) == '\uFEFF') r.substring(1) else r)
+        else records0.zipWithIndex.map { case (r, i) =>
+          // record 0's encoder BOM was already consumed by the charset
+          // decoder of the WHOLE buffer \u2014 stripping there would eat a first
+          // record whose content legitimately begins with U+FEFF (the
+          // reference's per-record decode preserves it); only records 1..n
+          // still carry their embedded encoder BOMs
+          if (i > 0 && r.nonEmpty && r.charAt(0) == '\uFEFF') r.substring(1) else r
+        }
       records.map { r =>
         keyDelimiter match {
           case None => (None, r)

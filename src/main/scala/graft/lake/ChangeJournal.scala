@@ -86,10 +86,13 @@ final class ChangeJournal(
     if (io.fs.exists(p)) Some(Json.parse(io.readString(p))) else None
   }
 
-  /** The journal is append-only, so a delta manifest is just the files this
-    * commit added (SURVEY.md §4.1 applied to the journal: commit JSON is
-    * O(batch's files), not O(journal history)); every `checkpointEvery`-th
-    * commit writes the full listing so readers fold a bounded chain.
+  /** A delta manifest records only this commit's change: `added` (an
+    * append's new files) and/or `removed` (a truncate's dropped paths) —
+    * SURVEY.md §4.1 applied to the journal: commit JSON is O(change), never
+    * O(journal history). Truncation in particular stays O(dead), not
+    * O(kept): at long retention the kept set is the big one. Every
+    * `checkpointEvery`-th commit writes the full listing so readers fold a
+    * bounded chain.
     */
   private def isDelta(m: JsonNode): Boolean = m.has("added")
 
@@ -101,8 +104,15 @@ final class ChangeJournal(
       chain = manifestAt(pv).getOrElse(throw new IllegalStateException(
         s"journal manifest chain broken at version $pv under $root")) :: chain
     }
-    chain.head.get("files").elements().asScala.toSeq ++
-      chain.tail.flatMap(_.get("added").elements().asScala)
+    chain.tail.foldLeft(chain.head.get("files").elements().asScala.toSeq) {
+      (acc, d) =>
+        val rem = Option(d.get("removed"))
+          .map(_.elements().asScala.map(_.asText).toSet)
+          .getOrElse(Set.empty[String])
+        val base = if (rem.isEmpty) acc
+                   else acc.filterNot(f => rem(f.get("path").asText))
+        base ++ d.get("added").elements().asScala
+    }
   }
 
   // resolved listing cached per snapshot version (chain resolution reads up
@@ -271,17 +281,26 @@ final class ChangeJournal(
     * untouched. Returns the number of files dropped from the manifest.
     *
     * Physical reclamation is DEFERRED: dropping a file from the manifest is
-    * immediate (a full-manifest commit — the delta chain encodes
-    * append-only growth, so a removal resets it), but its bytes — and those
-    * of the manifests the full commit superseded, which otherwise
-    * accumulate forever — are recorded in a pending-delete tombstone list
-    * stamped with the DROP time and reclaimed only once `graceMs` has
-    * passed since the drop. A concurrent reader that resolved the previous
-    * snapshot's listing can therefore finish its scan; an mtime cutoff
-    * could not give that guarantee, because a journal file's mtime says
-    * when it was WRITTEN, not when a reader could last have planned to
-    * read it. A crash between the commit and the tombstone write leaves
-    * only unreferenced orphans, never a manifest referencing missing files.
+    * immediate (a `removed` DELTA commit — O(dead paths) JSON, independent
+    * of how many files are kept, so long-retention journals truncate in
+    * constant metadata cost), but its bytes — and manifests that fell below
+    * the current checkpoint, which otherwise accumulate forever — are
+    * recorded as tombstones stamped with the DROP time and reclaimed only
+    * once `graceMs` has passed since the drop. A concurrent reader that
+    * resolved the previous snapshot's listing can therefore finish its
+    * scan; an mtime cutoff could not give that guarantee, because a journal
+    * file's mtime says when it was WRITTEN, not when a reader could last
+    * have planned to read it. A crash between the commit and the tombstone
+    * write leaves only unreferenced orphans, never a manifest referencing
+    * missing files.
+    *
+    * Tombstones are APPEND-ONLY: each truncate writes its own immutable
+    * file under `pending-delete/` (all entries share that truncate's drop
+    * time, so reaping is per-file all-or-nothing). Two concurrent
+    * truncators — a zombie writer racing its fenced successor, the exact
+    * scenario TableIO.writeAtomic defends — write distinct files and can
+    * never clobber each other's tombstones, which a read-modify-write list
+    * could (the same reasoning as the lineage archive's segments).
     */
   def truncate(watermarks: Map[Int, Long],
       graceMs: Long = 24L * 3600 * 1000): Int = {
@@ -290,54 +309,78 @@ final class ChangeJournal(
         .exists(w => f.get("max_offset").asLong <= w)
     }
     if (dead.nonEmpty) {
-      // one root listing, not one exists() probe per historical version —
-      // versions are monotone and unbounded, and most were already reaped
-      val cur = io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
+      commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
+        removed = dead.map(_.get("path").asText))
+      // manifests strictly below the NEW current checkpoint version are
+      // unreachable from any live fold chain — tombstone them (one root
+      // listing, not one exists() probe per historical version)
+      val ckpt = manifest()
+        .map(m => Option(m.get("checkpointVersion")).map(_.asLong)
+          .getOrElse(m.get("version").asLong))
+        .getOrElse(0L)
       val supersededManifests = io.fs.listStatus(io.rootPath).toSeq
         .map(_.getPath.getName)
         .filter(_.matches("""manifest-\d{12,}\.json""")) // %012d grows past 12 digits
-        .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong <= cur)
-      commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
-        replaceWith = Some(kept))
+        .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong < ckpt)
       pendingAdd(dead.map(_.get("path").asText) ++ supersededManifests)
     }
     reapPending(graceMs)
     dead.size
   }
 
-  private def pendingPath = new Path(io.rootPath, "pending-delete.json")
+  private def pendingDir = new Path(io.rootPath, "pending-delete")
+  private def legacyPendingPath = new Path(io.rootPath, "pending-delete.json")
 
-  /** record paths that just became unreferenced, stamped with the drop time */
+  /** record paths that just became unreferenced as ONE immutable tombstone
+    * file stamped with the drop time — append-only, concurrency-safe
+    */
   private def pendingAdd(paths: Seq[String]): Unit = {
+    if (paths.isEmpty) return
     val now = System.currentTimeMillis()
-    val arr = if (io.fs.exists(pendingPath))
-      Json.parse(io.readString(pendingPath))
-        .asInstanceOf[com.fasterxml.jackson.databind.node.ArrayNode]
-    else Json.arr()
-    val known = arr.elements().asScala.map(_.get("path").asText).toSet
-    paths.filterNot(known).foreach { p =>
-      val o = Json.obj(); o.put("path", p); o.put("droppedAt", now)
-      arr.add(o): Unit
-    }
-    io.writeAtomic(pendingPath, Json.write(arr))
+    val o = Json.obj()
+    o.put("droppedAt", now)
+    val arr = o.putArray("paths")
+    paths.distinct.foreach(arr.add)
+    io.writeString(new Path(pendingDir,
+      f"del-$now%013d-${java.util.UUID.randomUUID()}.json"), Json.write(o))
   }
 
-  /** reclaim tombstoned paths whose grace window has fully elapsed */
+  /** reclaim tombstone files whose grace window has fully elapsed (all of a
+    * file's entries share one droppedAt, so per-file reaping is exact);
+    * deletes are idempotent, so concurrent reapers are safe
+    */
   private def reapPending(graceMs: Long): Unit = {
-    if (!io.fs.exists(pendingPath)) return
-    val arr = Json.parse(io.readString(pendingPath))
+    migrateLegacyPending()
+    if (!io.fs.exists(pendingDir)) return
     val cutoff = System.currentTimeMillis() - graceMs
-    val (ripe, waiting) = arr.elements().asScala.toSeq
-      .partition(_.get("droppedAt").asLong <= cutoff)
-    if (ripe.isEmpty) return
-    ripe.foreach(e =>
-      io.fs.delete(new Path(io.rootPath, e.get("path").asText), false): Unit)
-    if (waiting.isEmpty) io.fs.delete(pendingPath, false): Unit
-    else {
-      val rest = Json.arr()
-      waiting.foreach(rest.add)
-      io.writeAtomic(pendingPath, Json.write(rest))
-    }
+    io.fs.listStatus(pendingDir).toSeq
+      .filter(_.getPath.getName.startsWith("del-")).foreach { st =>
+        val node = Json.parse(io.readString(st.getPath))
+        if (node.get("droppedAt").asLong <= cutoff) {
+          node.get("paths").elements().asScala.foreach(p =>
+            io.fs.delete(new Path(io.rootPath, p.asText), false): Unit)
+          io.fs.delete(st.getPath, false): Unit
+        }
+      }
+    if (io.fs.exists(pendingDir) && io.fs.listStatus(pendingDir).isEmpty)
+      io.fs.delete(pendingDir, false): Unit
+  }
+
+  /** one-time migration of the old read-modify-write pending-delete.json:
+    * rewrite each drop-time group as its own immutable tombstone file
+    */
+  private def migrateLegacyPending(): Unit = {
+    if (!io.fs.exists(legacyPendingPath)) return
+    Json.parse(io.readString(legacyPendingPath)).elements().asScala.toSeq
+      .groupBy(_.get("droppedAt").asLong).foreach { case (at, entries) =>
+        val o = Json.obj()
+        o.put("droppedAt", at)
+        val arr = o.putArray("paths")
+        entries.map(_.get("path").asText).distinct.foreach(arr.add)
+        io.writeString(new Path(pendingDir,
+          f"del-$at%013d-${java.util.UUID.randomUUID()}.json"), Json.write(o))
+      }
+    io.fs.delete(legacyPendingPath, false): Unit
   }
 
   /** The journal's schema: from the manifest when persisted (every commit
@@ -368,15 +411,14 @@ final class ChangeJournal(
         }
       }
 
-  /** Commit `added` (the batch's new files) on top of the current listing —
-    * written as a delta except at checkpoint cadence or first commit.
-    * `replaceWith` overrides the listing wholesale (truncation) and forces
-    * a full manifest.
+  /** Commit this batch's change — `added` files and/or `removed` paths
+    * (truncation) — on top of the current listing, written as a delta
+    * except at checkpoint cadence or first commit.
     */
   private def commitManifest(
       added: Seq[JsonNode], next: Map[Int, Long], batchId: Long,
       schema: org.apache.spark.sql.types.StructType,
-      replaceWith: Option[Seq[JsonNode]] = None): Unit = {
+      removed: Seq[String] = Nil): Unit = {
     val prev = io.readSnapshot()
     val version = prev.map(_.get("version").asLong + 1).getOrElse(0L)
     val prevCkpt = prev.map { _ =>
@@ -384,9 +426,11 @@ final class ChangeJournal(
       Option(pm.get("checkpointVersion")).map(_.asLong)
         .getOrElse(pm.get("version").asLong)
     }
-    val resolved = replaceWith.getOrElse(liveFiles() ++ added)
-    val writeFull = replaceWith.isDefined || prev.isEmpty ||
-      version - prevCkpt.get >= checkpointEvery
+    val removedSet = removed.toSet
+    val base = if (removedSet.isEmpty) liveFiles()
+               else liveFiles().filterNot(f => removedSet(f.get("path").asText))
+    val resolved = base ++ added
+    val writeFull = prev.isEmpty || version - prevCkpt.get >= checkpointEvery
     val m = Json.obj()
     m.put("version", version)
     m.put("batchId", batchId)
@@ -400,6 +444,10 @@ final class ChangeJournal(
     }
     val fa = m.putArray(if (writeFull) "files" else "added")
     (if (writeFull) resolved else added).foreach(fa.add)
+    if (!writeFull && removed.nonEmpty) {
+      val ra = m.putArray("removed")
+      removed.foreach(ra.add)
+    }
     val manifestRel = f"manifest-$version%012d.json"
     io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
     val snap = Json.obj()

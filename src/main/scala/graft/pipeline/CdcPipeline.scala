@@ -111,17 +111,14 @@ final class CdcPipeline(
     } finally cached.unpersist(blocking = false): Unit
   }
 
-  /** Streaming mode: tail a parquet directory of change events (the in-prod
-    * analogue is format("kafka")) and ingest via foreachBatch. Caller owns
-    * query lifecycle; use `processAllAvailable()` in tests.
+  /** Streaming mode over any [[ChangeSource]] — the boundary is a SEAM:
+    * [[FileTailSource]] here (no broker in the sandbox),
+    * [[KafkaChangeSource]] in a production deployment, swapped by config
+    * without touching the ingest. Caller owns query lifecycle; use
+    * `processAllAvailable()` in tests.
     */
-  def stream(sourceDir: String, checkpointDir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      maxFilesPerTrigger: Int = 10): StreamingQuery = {
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(sourceDir)
+  def stream(source: ChangeSource, checkpointDir: String): StreamingQuery =
+    source.load(spark)
       .writeStream
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", checkpointDir)
@@ -129,5 +126,10 @@ final class CdcPipeline(
         applyBatch(batch, batchId)
       }
       .start()
-  }
+
+  /** File-tail convenience overload (the pre-seam signature). */
+  def stream(sourceDir: String, checkpointDir: String,
+      schema: org.apache.spark.sql.types.StructType,
+      maxFilesPerTrigger: Int = 10): StreamingQuery =
+    stream(FileTailSource(sourceDir, schema, maxFilesPerTrigger), checkpointDir)
 }

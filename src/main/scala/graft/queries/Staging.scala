@@ -55,11 +55,19 @@ object Staging {
       try {
         if (fs.exists(base)) {
           val now = System.currentTimeMillis()
+          // the dead-pid fast path is only sound on a LOCAL filesystem: on
+          // a shared root (HDFS/object store — the documented cluster mode)
+          // a sibling tree's pid belongs to another HOST, so "no live local
+          // process" says nothing — reaping on it could delete a live
+          // remote run's staging mid-query. Shared roots get only the 24h
+          // age bound (staging is rebuildable scratch, so the slow path
+          // costs at most one re-stage).
+          val pidCheckValid = fs.getScheme == "file"
           fs.listStatus(base).foreach { st =>
             val n = st.getPath.getName
             if (n.startsWith("graft-stage-") && n != own.getName) {
               val otherPid = n.stripPrefix("graft-stage-").toLongOption
-              val deadLocal = otherPid.exists(p =>
+              val deadLocal = pidCheckValid && otherPid.exists(p =>
                 ProcessHandle.of(p).map[Boolean](_.isAlive).orElse(false) == false)
               val age = now - st.getModificationTime
               if ((deadLocal && age > 10 * 60 * 1000L) || age > 24L * 3600 * 1000)

@@ -134,6 +134,13 @@ class JournalSpec extends AnyFunSuite {
     // listing cannot lose files under its feet
     assert(j.truncate(Map(0 -> 150L, 1 -> 150L)) === 2)
     assert(dataFiles === 6, "grace window: bytes reclaim later, not at drop")
+    // the truncate commit is a REMOVED-DELTA — O(dead paths), independent
+    // of how many files are kept (long retention keeps the big set)
+    val truncManifest = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "manifest-000000000003.json")), "UTF-8")
+    assert(truncManifest.contains("\"removed\""))
+    assert(!truncManifest.contains("\"files\""),
+      "truncate must not serialize the kept listing")
     assert(j.read().count() === 400L)
     assert(j.read().agg(min(col("offset"))).collect()(0).getLong(0) === 100L)
     // resume offsets untouched by retention
@@ -182,11 +189,13 @@ class JournalSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
     // resume offsets always track the newest append, never retention
     assert(j.nextOffsets() === Map(0 -> 600L, 1 -> 600L))
-    // a final zero-grace truncate drains every ripe tombstone
+    // a final zero-grace truncate drains every ripe tombstone (tombstones
+    // are append-only immutable files under pending-delete/; a fully
+    // drained dir removes itself)
     j.truncate(Map(0 -> -1L, 1 -> -1L), graceMs = 0L)
     assert(!java.nio.file.Files.exists(
-      java.nio.file.Paths.get(root, "pending-delete.json")),
-      "drained tombstone list removes itself")
+      java.nio.file.Paths.get(root, "pending-delete")),
+      "drained tombstone dir removes itself")
     // and a cold reader still sees the exact surviving log
     val cold = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
     val coldGot = cold.read().select("partition", "offset", "content")

@@ -88,4 +88,16 @@ class RecordFormatsSpec extends AnyFunSuite {
     assert(fmt.decodeAll(buf) ===
       Seq((Some("k1"), "v1"), (Some("k2"), "v2"), (Some("k3"), "v3")))
   }
+
+  test("a first record legitimately starting with U+FEFF survives BOM handling") {
+    // record 0's encoder BOM is consumed by the whole-buffer charset decode,
+    // so the per-record strip must skip index 0 — otherwise a first KEY that
+    // genuinely begins with U+FEFF loses that character (records 1..n still
+    // need their embedded encoder BOMs stripped)
+    val fmt = new TrailingDelimiterFormat("\n", Some("\t"),
+      StandardCharsets.UTF_16)
+    val buf = fmt.encode("﻿key0", "v0") ++ fmt.encode("﻿key1", "v1")
+    assert(fmt.decodeAll(buf) ===
+      Seq((Some("﻿key0"), "v0"), (Some("﻿key1"), "v1")))
+  }
 }

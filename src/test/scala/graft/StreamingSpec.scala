@@ -41,7 +41,10 @@ class StreamingSpec extends AnyFunSuite {
 
     val p = new CdcPipeline(spark, SparkTestSession.tempDir("sj"),
       SparkTestSession.tempDir("slake"), chunkBytes = 8192, subBuckets = 4)
-    val q = p.stream(src, ckpt, schema, maxFilesPerTrigger = 2)
+    // through the ChangeSource SEAM explicitly: the production swap point
+    // (FileTailSource here; KafkaChangeSource in a broker deployment)
+    val q = p.stream(
+      graft.pipeline.FileTailSource(src, schema, maxFilesPerTrigger = 2), ckpt)
     q.awaitTermination()
 
     val got = p.lake.read()
@@ -78,5 +81,17 @@ class StreamingSpec extends AnyFunSuite {
     val want = ChangeGen.oracleFinalState(changes)
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("KafkaChangeSource is optional: clear failure without connector jars") {
+    // the Kafka boundary compiles against spark-sql alone (format resolved
+    // by name); in this sandbox the spark-sql-kafka connector jars are
+    // absent, so load() must fail with the standard missing-data-source
+    // error — not something cryptic mid-query — documenting that the impl
+    // is runtime-optional exactly as a prod user would experience it
+    val ks = graft.pipeline.KafkaChangeSource(
+      "broker:9092", "changes", ChangeGen.changes(spark, 10).schema)
+    val e = intercept[Exception] { ks.load(spark) }
+    assert(e.getMessage.toLowerCase.contains("kafka"))
   }
 }
