@@ -82,8 +82,12 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
+    // Double.toString, never locale-sensitive %-formatting: an f"%..f" on a
+    // comma-decimal default locale would emit 1,84 and break the one
+    // machine-parsed graded line
+    def num(v: Double): String = (math.rint(v * 1000) / 1000).toString
     val phasesJson = mergePhases.toSeq.sortBy(_._1)
-      .map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }
+      .map { case (k, v) => "\"" + k + "\":" + num(v) }
       .mkString("{", ",", "}")
 
     // STOP the parent session BEFORE the scale row: its idle local[32]
@@ -111,10 +115,10 @@ object Bench {
         val runs = (1 to 2).map(_ =>
           graft.bench.ScalingBench.measureOnce(cpus.toInt, scaleEvents, 4))
         val (dt, n) = runs.minBy(_._1)
-        val spread = runs.map(_._1).max / runs.map(_._1).min
+        val spread = math.rint(100.0 * runs.map(_._1).max / runs.map(_._1).min) / 100
         s"""{"events":$n,"sec":$dt,"events_per_sec":${(n / dt).round},""" +
           s""""runs":${runs.map(_._1).mkString("[", ",", "]")},""" +
-          f""""run_spread":$spread%.2f,"parent_session_stopped":true}"""
+          s""""run_spread":$spread,"parent_session_stopped":true}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] scale row failed: ${e.getMessage}")

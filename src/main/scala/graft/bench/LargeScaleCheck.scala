@@ -61,12 +61,12 @@ object LargeScaleCheck {
         s""""hot_pct":$hotPct,"lake_rows":$gotN,"oracle_rows":$wantN,""" +
         s""""missing":$missing,"extra":$extra,"ingest_sec":$ingestSec,""" +
         s""""pass":$ok}""")
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(rm))
-        f.delete(): Unit
+      // keep the lake/journal/input on a FAIL — they are the diagnosis
+      if (ok) org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      else {
+        System.err.println(s"[large-scale-check] FAILED — state kept at $root")
+        sys.exit(1)
       }
-      rm(new java.io.File(root))
-      if (!ok) sys.exit(1)
     } finally spark.stop()
   }
 }

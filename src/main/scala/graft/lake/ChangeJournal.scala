@@ -322,7 +322,13 @@ final class ChangeJournal(
         .map(_.getPath.getName)
         .filter(_.matches("""manifest-\d{12,}\.json""")) // %012d grows past 12 digits
         .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong < ckpt)
-      pendingAdd(dead.map(_.get("path").asText) ++ supersededManifests)
+      // dedupe against tombstones already pending: unreaped manifests stay
+      // on disk for the whole grace window, and re-naming them every
+      // truncate would pile up duplicate tombstone files at a
+      // truncate-per-batch cadence (the old single-list code deduped the
+      // same way via its known set)
+      pendingAdd((dead.map(_.get("path").asText) ++ supersededManifests)
+        .filterNot(alreadyPending()))
     }
     reapPending(graceMs)
     dead.size
@@ -331,8 +337,21 @@ final class ChangeJournal(
   private def pendingDir = new Path(io.rootPath, "pending-delete")
   private def legacyPendingPath = new Path(io.rootPath, "pending-delete.json")
 
+  /** paths already named by a pending tombstone (so truncates don't re-name
+    * the same unreaped garbage every pass); bounded by the grace window
+    */
+  private def alreadyPending(): Set[String] =
+    if (!io.fs.exists(pendingDir)) Set.empty
+    else io.fs.listStatus(pendingDir).toSeq
+      .filter(_.getPath.getName.matches("""del-.*\.json""")) // not .tmp-* leftovers
+      .flatMap(st => Json.parse(io.readString(st.getPath))
+        .get("paths").elements().asScala.map(_.asText))
+      .toSet
+
   /** record paths that just became unreferenced as ONE immutable tombstone
-    * file stamped with the drop time — append-only, concurrency-safe
+    * file stamped with the drop time — append-only, concurrency-safe.
+    * writeAtomic (unique tmp + rename), never a bare create: a torn del-*
+    * file would poison every later reap's JSON parse.
     */
   private def pendingAdd(paths: Seq[String]): Unit = {
     if (paths.isEmpty) return
@@ -341,7 +360,7 @@ final class ChangeJournal(
     o.put("droppedAt", now)
     val arr = o.putArray("paths")
     paths.distinct.foreach(arr.add)
-    io.writeString(new Path(pendingDir,
+    io.writeAtomic(new Path(pendingDir,
       f"del-$now%013d-${java.util.UUID.randomUUID()}.json"), Json.write(o))
   }
 
@@ -354,7 +373,9 @@ final class ChangeJournal(
     if (!io.fs.exists(pendingDir)) return
     val cutoff = System.currentTimeMillis() - graceMs
     io.fs.listStatus(pendingDir).toSeq
-      .filter(_.getPath.getName.startsWith("del-")).foreach { st =>
+      // exact .json names only: a crash-leaked writeAtomic tmp
+      // (del-*.json.tmp-*) must not be parsed — or reaped as if complete
+      .filter(_.getPath.getName.matches("""del-.*\.json""")).foreach { st =>
         val node = Json.parse(io.readString(st.getPath))
         if (node.get("droppedAt").asLong <= cutoff) {
           node.get("paths").elements().asScala.foreach(p =>
@@ -362,8 +383,14 @@ final class ChangeJournal(
           io.fs.delete(st.getPath, false): Unit
         }
       }
-    if (io.fs.exists(pendingDir) && io.fs.listStatus(pendingDir).isEmpty)
-      io.fs.delete(pendingDir, false): Unit
+    // cosmetic empty-dir cleanup, best-effort ONLY: a concurrent truncator
+    // may add a tombstone between our listing and the delete (non-recursive
+    // delete of a non-empty dir throws), and a concurrent reaper may have
+    // removed the dir already — both races are benign
+    try {
+      if (io.fs.exists(pendingDir) && io.fs.listStatus(pendingDir).isEmpty)
+        io.fs.delete(pendingDir, false): Unit
+    } catch { case _: java.io.IOException => () }
   }
 
   /** one-time migration of the old read-modify-write pending-delete.json:
@@ -377,7 +404,7 @@ final class ChangeJournal(
         o.put("droppedAt", at)
         val arr = o.putArray("paths")
         entries.map(_.get("path").asText).distinct.foreach(arr.add)
-        io.writeString(new Path(pendingDir,
+        io.writeAtomic(new Path(pendingDir,
           f"del-$at%013d-${java.util.UUID.randomUUID()}.json"), Json.write(o))
       }
     io.fs.delete(legacyPendingPath, false): Unit

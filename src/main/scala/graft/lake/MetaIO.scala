@@ -38,8 +38,19 @@ object MetaIO {
       case t: Throwable =>
         // cancel the queued remainder: a 5000-item fan-out that fails on
         // item 3 must not keep burning the SHARED pool (and starving other
-        // subsystems) on thousands of doomed GETs
-        futs.foreach(_.cancel(true))
+        // subsystems) on thousands of doomed GETs. cancel(false), not
+        // interrupt: callbacks are filesystem ops that should end at their
+        // own boundary, not mid-IO.
+        futs.foreach(_.cancel(false): Unit)
+        // then JOIN the in-flight ones before rethrowing: callers retry
+        // against the same paths (e.g. a merge retry re-promoting into the
+        // same staging dir and deterministic destinations), and a zombie
+        // callback racing that retry could delete/rename under its feet.
+        // A cancelled-before-run future is done immediately; a running one
+        // completes. Bounded like the old per-call pool's awaitTermination.
+        val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
+        while (futs.exists(!_.isDone) && System.nanoTime() < deadline)
+          Thread.sleep(5)
         throw t
     }
   }

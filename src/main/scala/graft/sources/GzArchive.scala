@@ -405,6 +405,14 @@ object GzArchive {
           val aoff = r.getLong(3)
           if (t != curTopic || p != curPart || file != curFile) {
             commitW()
+            // topics now arrive as DATA (writeArchiveTopics), not a caller
+            // literal: validate at the file boundary (cheap — once per
+            // file). Kafka's own topic charset; anything else (null, a
+            // '/', spaces) would break the flat bucket layout or the
+            // FileName/CursorName parse and silently lose the topic's
+            // records from cursor-trusted reads.
+            require(t != null && t.matches("[A-Za-z0-9._-]+"),
+              s"invalid archive topic name '$t' — must match [A-Za-z0-9._-]+")
             curTopic = t; curPart = p; curFile = file
             // the file is NAMED by its first actual record offset (= `file`
             // except for the very first file of a partition with a non-zero
