@@ -22,6 +22,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // snappy over Spark 4's zstd default, same reasoning as ScalingBench:
+      // the merge is write-bound (phases show `write` dominating) and
+      // snappy compresses this payload ~3x faster for similar ratio —
+      // the choice a production deployment of this write path would make
+      .config("spark.sql.parquet.compression.codec", "snappy")
       .getOrCreate()
     // ERROR, not WARN: the one JSON result line must be machine-parsable by
     // the round driver, so nothing else may land near stdout/stderr
