@@ -788,6 +788,26 @@ object GzArchive {
     readTasks(spark, tasks)
   }
 
+  /** [[readFrom]] keyed by (topic, partition) — the resume shape of a
+    * multi-topic bucket ([[writeArchiveTopics]]): per-topic-partition
+    * committed floors, whole chunks at or below a floor pruned from the
+    * index alone. A (topic, partition) absent from the map replays fully;
+    * restrict to a topic set by passing floors only for those topics and
+    * filtering the result on `topic` (records carry it).
+    */
+  def readFromTopics(spark: SparkSession, root: String,
+      committed: Map[(String, Int), Long]): DataFrame = {
+    val tasks = listTasks(spark, root).flatMap { t =>
+      committed.get((t.topic, t.partition)) match {
+        case None => Some(t)
+        case Some(c) if t.firstRecordOffset + t.numRecords > c + 1 =>
+          Some(t.copy(minOffsetExclusive = c))
+        case _ => None
+      }
+    }
+    readTasks(spark, tasks)
+  }
+
   final case class GzBinRecord(topic: String, partition: Int, offset: Long,
       key: Array[Byte], value: Array[Byte])
 

@@ -571,6 +571,21 @@ class GzArchiveSpec extends AnyFunSuite {
       .filter($"partition" === 1).orderBy("offset").collect()
     assert(resumed.length === 37)
     assert(resumed.last.getString(3) === "beta more 1")
+
+    // (topic, partition)-keyed resume: floors prune per topic independently;
+    // un-floored (topic, partition)s replay fully
+    val fromTopics = GzArchive.readFromTopics(spark, root, Map(
+      ("alpha", 0) -> 49L, ("alpha", 1) -> 59L, ("beta", 0) -> 34L))
+      .groupBy("topic", "partition")
+      .agg(count(lit(1)).as("n"), min("offset").as("first"))
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(fromTopics(("alpha", 0)) === ((10L, 50L)))
+    assert(fromTopics.get(("alpha", 1)).isEmpty)     // fully caught up
+    // index-based resume (unlike readCommitted) also sees the orphan file's
+    // 5 records at 35..39; the committed family (0..34) is below the floor
+    assert(fromTopics(("beta", 0)) === ((5L, 35L)))
+    assert(fromTopics(("beta", 1)) === ((37L, 0L)))  // no floor: full replay
   }
 
   test("truncated gzip raises; only a bare trailing member header is tolerated") {
