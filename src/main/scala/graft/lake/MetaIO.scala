@@ -28,28 +28,45 @@ object MetaIO {
     // parallelism.
     if (Thread.currentThread().getName.startsWith("graft-meta-io"))
       return items.map(f)
+    // abort + inFlight give failure semantics Future.cancel alone cannot:
+    // cancel(false) on a RUNNING FutureTask still flips it to
+    // CANCELLED/isDone while the callable keeps executing, so isDone is
+    // useless as a join. Instead: a callable first registers in-flight,
+    // then checks abort BEFORE doing any work — after a failure, every
+    // registered callable is awaited, and any callable that slips past the
+    // cancels afterward sees abort and exits without touching anything.
+    val abort = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val inFlight = new java.util.concurrent.atomic.AtomicInteger(0)
     val futs = items.map { a =>
-      pool.submit(new java.util.concurrent.Callable[B] { def call(): B = f(a) })
+      pool.submit(new java.util.concurrent.Callable[B] {
+        def call(): B = {
+          inFlight.incrementAndGet()
+          try {
+            if (abort.get)
+              throw new java.util.concurrent.CancellationException("sibling failed")
+            f(a)
+          } finally inFlight.decrementAndGet(): Unit
+        }
+      })
     }
     try futs.map { fu =>
       try fu.get()
       catch { case e: java.util.concurrent.ExecutionException => throw e.getCause }
     } catch {
       case t: Throwable =>
-        // cancel the queued remainder: a 5000-item fan-out that fails on
+        // stop the queued remainder: a 5000-item fan-out that fails on
         // item 3 must not keep burning the SHARED pool (and starving other
-        // subsystems) on thousands of doomed GETs. cancel(false), not
-        // interrupt: callbacks are filesystem ops that should end at their
-        // own boundary, not mid-IO.
+        // subsystems) on thousands of doomed GETs. No interrupt: callbacks
+        // are filesystem ops that should end at their own boundary.
+        abort.set(true)
         futs.foreach(_.cancel(false): Unit)
-        // then JOIN the in-flight ones before rethrowing: callers retry
-        // against the same paths (e.g. a merge retry re-promoting into the
-        // same staging dir and deterministic destinations), and a zombie
+        // JOIN the in-flight ones before rethrowing: callers retry against
+        // the same paths (e.g. a merge retry re-promoting into the same
+        // staging dir and deterministic destinations), and a zombie
         // callback racing that retry could delete/rename under its feet.
-        // A cancelled-before-run future is done immediately; a running one
-        // completes. Bounded like the old per-call pool's awaitTermination.
+        // Bounded like the old per-call pool's awaitTermination.
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (futs.exists(!_.isDone) && System.nanoTime() < deadline)
+        while (inFlight.get() > 0 && System.nanoTime() < deadline)
           Thread.sleep(5)
         throw t
     }
