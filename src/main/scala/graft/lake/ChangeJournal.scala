@@ -344,8 +344,13 @@ final class ChangeJournal(
     if (!io.fs.exists(pendingDir)) Set.empty
     else io.fs.listStatus(pendingDir).toSeq
       .filter(_.getPath.getName.matches("""del-.*\.json""")) // not .tmp-* leftovers
-      .flatMap(st => Json.parse(io.readString(st.getPath))
-        .get("paths").elements().asScala.map(_.asText))
+      .flatMap { st =>
+        // a concurrent reaper may delete a ripe tombstone between our
+        // listing and this read — its paths are then simply not "pending"
+        try Json.parse(io.readString(st.getPath))
+          .get("paths").elements().asScala.map(_.asText).toSeq
+        catch { case _: java.io.FileNotFoundException => Nil }
+      }
       .toSet
 
   /** record paths that just became unreferenced as ONE immutable tombstone
@@ -376,8 +381,11 @@ final class ChangeJournal(
       // exact .json names only: a crash-leaked writeAtomic tmp
       // (del-*.json.tmp-*) must not be parsed — or reaped as if complete
       .filter(_.getPath.getName.matches("""del-.*\.json""")).foreach { st =>
-        val node = Json.parse(io.readString(st.getPath))
-        if (node.get("droppedAt").asLong <= cutoff) {
+        // a concurrent reaper may have taken this tombstone already —
+        // its deletes were idempotent with ours, nothing left to do
+        val node = try Json.parse(io.readString(st.getPath))
+                   catch { case _: java.io.FileNotFoundException => null }
+        if (node != null && node.get("droppedAt").asLong <= cutoff) {
           node.get("paths").elements().asScala.foreach(p =>
             io.fs.delete(new Path(io.rootPath, p.asText), false): Unit)
           io.fs.delete(st.getPath, false): Unit
