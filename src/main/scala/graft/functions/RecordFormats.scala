@@ -16,13 +16,65 @@ import java.nio.charset.Charset
   * In the Spark engine these are plain Scala used inside typed `map` /
   * `mapPartitions` at the source/sink byte boundary (parquet carries typed
   * columns everywhere else, so the codecs only matter for interop with the
-  * reference's file bodies). No reflection plug-in loading: formats are
-  * values, not class names (the Spark-native answer to Configure.createFormat,
-  * common/.../Configure.java:115-135).
+  * reference's file bodies). Formats are VALUES, not class names, as the
+  * primary API — but [[RecordFormats.forConfig]] adds the reference's
+  * config-name boundary on top (Configure.createFormat,
+  * common/.../Configure.java:115-135) so a properties-file-driven
+  * deployment ports unchanged.
   */
 object RecordFormats {
 
   final case class Framed(key: Array[Byte], value: Array[Byte])
+
+  /** the reference's built-in aliases (Configure.java:20-23) */
+  val FormatAliases: Map[String, String] = Map(
+    "text" -> classOf[TrailingDelimiterFormat].getName,
+    "binary" -> classOf[ByteLengthFormat].getName)
+
+  /** Dot-scoped sub-configuration, the Configure.subKeys contract
+    * (Configure.java:79-88): keys under `prefix.` with the prefix stripped.
+    */
+  def scoped(props: Map[String, String], prefix: String): Map[String, String] =
+    props.collect { case (k, v) if k.startsWith(prefix + ".") =>
+      k.substring(prefix.length + 1) -> v
+    }
+
+  /** Config-name format construction — the analogue of
+    * Configure.createFormat (Configure.java:115-135): `format` = "text" |
+    * "binary" | a fully-qualified class name loaded reflectively (zero-arg
+    * constructor), defaulting to text like the reference's DEFAULT_FORMAT
+    * (Configure.java:18). Pass the format's SUB-config (the reference's
+    * dot-scoped keys, already stripped via [[scoped]]):
+    * `value.delimiter` / `key.delimiter` / `value.encoding` /
+    * `key.encoding` (TrailingDelimiterFormat.java:27-40; key encoding
+    * without a key delimiter fails with the reference's own message) and
+    * `include.keys` (ByteLengthFormat.java:33-35, default true). One
+    * deliberate narrowing: mismatched key/value encodings are rejected
+    * loudly — the engine's buffer decode is single-charset, and silent
+    * per-side charset drift is worse than an upfront error.
+    */
+  def forConfig(props: Map[String, String] = Map.empty): AnyRef = {
+    val className = {
+      val name = props.getOrElse("format", "text")
+      FormatAliases.getOrElse(name, name)
+    }
+    if (className == classOf[TrailingDelimiterFormat].getName) {
+      if (props.contains("key.encoding") && !props.contains("key.delimiter"))
+        throw new IllegalArgumentException("Key encoding specified without delimiter!")
+      val vEnc = props.getOrElse("value.encoding", "UTF-8")
+      val kEnc = props.getOrElse("key.encoding", vEnc)
+      require(kEnc == vEnc,
+        s"key.encoding '$kEnc' != value.encoding '$vEnc' — the buffer decode " +
+          "is single-charset; re-encode upstream or use the binary format")
+      new TrailingDelimiterFormat(props.getOrElse("value.delimiter", "\n"),
+        props.get("key.delimiter"), Charset.forName(vEnc))
+    } else if (className == classOf[ByteLengthFormat].getName) {
+      new ByteLengthFormat(props.get("include.keys").forall(_.toBoolean))
+    } else {
+      Class.forName(className).getDeclaredConstructor().newInstance()
+        .asInstanceOf[AnyRef]
+    }
+  }
 
   /** Text format with trailing delimiters; key emitted only when a key
     * delimiter is configured (TrailingDelimiterFormat.java:51-52).

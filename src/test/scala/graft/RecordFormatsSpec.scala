@@ -100,4 +100,52 @@ class RecordFormatsSpec extends AnyFunSuite {
     assert(fmt.decodeAll(buf) ===
       Seq((Some("﻿key0"), "v0"), (Some("﻿key1"), "v1")))
   }
+
+  test("forConfig: aliases, sub-config keys, reflective class loading") {
+    // default = text (Configure.java:18), no key path
+    val dflt = forConfig().asInstanceOf[TrailingDelimiterFormat]
+    assert(dflt.decodeAll("a\nb\n".getBytes("UTF-8")) ===
+      Seq((None, "a"), (None, "b")))
+
+    // full text sub-config: the reference's own key names
+    val txt = forConfig(Map("format" -> "text", "key.delimiter" -> "\t",
+      "value.encoding" -> "UTF-16BE", "key.encoding" -> "UTF-16BE"))
+      .asInstanceOf[TrailingDelimiterFormat]
+    assert(txt.encode("abc", "def") ===
+      "abc\tdef\n".getBytes(Charset.forName("UTF-16BE")))
+
+    // binary alias + include.keys
+    val bin = forConfig(Map("format" -> "binary", "include.keys" -> "false"))
+      .asInstanceOf[ByteLengthFormat]
+    val framed = bin.encode(Framed(Array.emptyByteArray, "xyz".getBytes("UTF-8")))
+    assert(framed.take(4) === Array[Byte](0, 0, 0, 3))
+
+    // dot-scoped sub-config extraction (Configure.subKeys contract)
+    assert(scoped(Map("format" -> "text", "format.key.delimiter" -> "\t",
+      "other" -> "x"), "format") === Map("key.delimiter" -> "\t"))
+
+    // the reference's own error: key encoding without a key delimiter
+    val e = intercept[IllegalArgumentException] {
+      forConfig(Map("key.encoding" -> "UTF-8"))
+    }
+    assert(e.getMessage === "Key encoding specified without delimiter!")
+
+    // mismatched per-side encodings rejected loudly (documented narrowing)
+    intercept[IllegalArgumentException] {
+      forConfig(Map("key.delimiter" -> "\t",
+        "key.encoding" -> "UTF-8", "value.encoding" -> "UTF-16BE"))
+    }
+
+    // reflection fallback: any FQCN with a zero-arg constructor
+    val custom = forConfig(Map("format" -> classOf[SpecCustomFormat].getName))
+    assert(custom.isInstanceOf[SpecCustomFormat])
+    intercept[ClassNotFoundException] {
+      forConfig(Map("format" -> "com.example.NoSuchFormat"))
+    }
+  }
+}
+
+/** a user-supplied format class for the reflective-loading test */
+class SpecCustomFormat {
+  def tag: String = "custom"
 }
