@@ -342,16 +342,17 @@ final class ChangeJournal(
     */
   private def alreadyPending(): Set[String] =
     if (!io.fs.exists(pendingDir)) Set.empty
-    else io.fs.listStatus(pendingDir).toSeq
-      .filter(_.getPath.getName.matches("""del-.*\.json""")) // not .tmp-* leftovers
-      .flatMap { st =>
-        // a concurrent reaper may delete a ripe tombstone between our
-        // listing and this read — its paths are then simply not "pending"
+    else MetaIO.fetchAll(io.fs.listStatus(pendingDir).toSeq
+      .filter(_.getPath.getName.matches("""del-.*\.json"""))) { st => // not .tmp-*
+        // fanned out on the shared metadata pool: at a truncate-per-batch
+        // cadence with a day's grace this is hundreds of small GETs on an
+        // object store. A concurrent reaper may delete a ripe tombstone
+        // between our listing and this read — its paths are then simply
+        // not "pending".
         try Json.parse(io.readString(st.getPath))
           .get("paths").elements().asScala.map(_.asText).toSeq
         catch { case _: java.io.FileNotFoundException => Nil }
-      }
-      .toSet
+      }.flatten.toSet
 
   /** record paths that just became unreferenced as ONE immutable tombstone
     * file stamped with the drop time — append-only, concurrency-safe.
