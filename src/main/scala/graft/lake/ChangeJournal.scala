@@ -77,7 +77,7 @@ final class ChangeJournal(
   def nextOffsets(): Map[Int, Long] = manifest() match {
     case None => Map.empty
     case Some(m) =>
-      m.get("partitions").fields().asScala
+      m.get("partitions").properties().asScala
         .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
   }
 

@@ -112,7 +112,7 @@ final class LakeTable(
   /** Per-partition max applied offset (the dedup gate / resume point). */
   def watermarks(): Map[Int, Long] = manifest() match {
     case None => Map.empty
-    case Some(m) => m.get("watermarks").fields().asScala
+    case Some(m) => m.get("watermarks").properties().asScala
       .map(e => e.getKey.toInt -> e.getValue.asLong).toMap
   }
 
@@ -163,10 +163,10 @@ final class LakeTable(
       // is thousands of small GETs at scale, so fetch on the shared bounded
       // pool (MetaIO; order restored by the sorted key sequence, so the
       // result is deterministic). Shared, not per-call: cold resolution
-      // recurs on every reader and cache miss; merge's promote path keeps
-      // its own per-batch pool because its error handling needs
-      // shutdownNow semantics a shared pool cannot offer.
-      val keys = m.get("shards").fields().asScala.toSeq.sortBy(_.getKey)
+      // recurs on every reader and cache miss, and MetaIO's failure path
+      // (abort + in-flight join) now covers the promote path's old
+      // shutdownNow semantics too.
+      val keys = m.get("shards").properties().asScala.toSeq.sortBy(_.getKey)
       MetaIO.fetchAll(keys)(e => entriesOf(Json.parse(
         io.readString(new Path(io.rootPath, e.getValue.asText))))).flatten
     }
@@ -174,7 +174,7 @@ final class LakeTable(
   /** shard key "p-g" → shard path, from a checkpoint manifest */
   private def shardMapOf(m: JsonNode): Map[String, String] =
     if (!m.has("shards")) Map.empty
-    else m.get("shards").fields().asScala
+    else m.get("shards").properties().asScala
       .map(e => e.getKey -> e.getValue.asText).toMap
 
   private def shardKey(partition: Int, sub: Int): String =
