@@ -26,6 +26,19 @@ object RecordFormats {
 
   final case class Framed(key: Array[Byte], value: Array[Byte])
 
+  /** The record-codec contract — the role of the reference's
+    * `S3RecordFormat` interface (api/.../S3RecordFormat.java:7-41): encode a
+    * framed byte record to its wire bytes, decode a full buffer back. OPEN
+    * (not sealed) exactly like the reference's public interface: the
+    * reflective-FQCN path of [[RecordFormats.forConfig]] requires
+    * user-supplied classes to implement it, which is what types the registry
+    * boundary — call sites get a usable codec, never an `AnyRef` to cast.
+    */
+  trait RecordFormat extends Serializable {
+    def encodeFrame(rec: Framed): Array[Byte]
+    def decodeFrames(bytes: Array[Byte]): Seq[Framed]
+  }
+
   /** the reference's built-in aliases (Configure.java:20-23) */
   val FormatAliases: Map[String, String] = Map(
     "text" -> classOf[TrailingDelimiterFormat].getName,
@@ -48,12 +61,18 @@ object RecordFormats {
     * `value.delimiter` / `key.delimiter` / `value.encoding` /
     * `key.encoding` (TrailingDelimiterFormat.java:27-40; key encoding
     * without a key delimiter fails with the reference's own message) and
-    * `include.keys` (ByteLengthFormat.java:33-35, default true). One
-    * deliberate narrowing: mismatched key/value encodings are rejected
-    * loudly — the engine's buffer decode is single-charset, and silent
-    * per-side charset drift is worse than an upfront error.
+    * `include.keys` (default FALSE — the reference's
+    * `.filter(f -> f)` treats anything but an explicit `true` as absent,
+    * ByteLengthFormat.java:34-35, so an unset key writes value-only frames;
+    * defaulting to true here would write key-length-prefixed frames that a
+    * reference-written archive cannot parse). One deliberate narrowing:
+    * mismatched key/value encodings are rejected loudly — the engine's
+    * buffer decode is single-charset, and silent per-side charset drift is
+    * worse than an upfront error. Comparison is by CANONICAL charset
+    * (`Charset.forName`), so `utf-8` vs `UTF-8` — or any alias pair naming
+    * one charset — is accepted.
     */
-  def forConfig(props: Map[String, String] = Map.empty): AnyRef = {
+  def forConfig(props: Map[String, String] = Map.empty): RecordFormat = {
     val className = {
       val name = props.getOrElse("format", "text")
       FormatAliases.getOrElse(name, name)
@@ -63,16 +82,21 @@ object RecordFormats {
         throw new IllegalArgumentException("Key encoding specified without delimiter!")
       val vEnc = props.getOrElse("value.encoding", "UTF-8")
       val kEnc = props.getOrElse("key.encoding", vEnc)
-      require(kEnc == vEnc,
+      require(Charset.forName(kEnc) == Charset.forName(vEnc),
         s"key.encoding '$kEnc' != value.encoding '$vEnc' — the buffer decode " +
           "is single-charset; re-encode upstream or use the binary format")
       new TrailingDelimiterFormat(props.getOrElse("value.delimiter", "\n"),
         props.get("key.delimiter"), Charset.forName(vEnc))
     } else if (className == classOf[ByteLengthFormat].getName) {
-      new ByteLengthFormat(props.get("include.keys").forall(_.toBoolean))
+      new ByteLengthFormat(props.get("include.keys").exists(_.toBoolean))
     } else {
-      Class.forName(className).getDeclaredConstructor().newInstance()
-        .asInstanceOf[AnyRef]
+      Class.forName(className).getDeclaredConstructor().newInstance() match {
+        case f: RecordFormat => f
+        case _ => throw new IllegalArgumentException(
+          s"format class $className does not implement " +
+            s"${classOf[RecordFormat].getName} — the registry's typed " +
+            "contract (the reference's S3RecordFormat role)")
+      }
     }
   }
 
@@ -83,7 +107,7 @@ object RecordFormats {
       valueDelimiter: String = "\n",
       keyDelimiter: Option[String] = None,
       charset: Charset = java.nio.charset.StandardCharsets.UTF_8)
-    extends Serializable {
+    extends RecordFormat {
 
     // Charset itself is not Serializable: ship the NAME in the task closure
     // and resolve it per JVM, so a format value can ride a typed map/flatMap
@@ -97,6 +121,17 @@ object RecordFormats {
       sb.append(value).append(valueDelimiter)
       sb.toString.getBytes(cs)
     }
+
+    // the typed-registry contract over framed BYTES — key/value bytes are
+    // text in this format's charset (the reference's text format makes the
+    // same assumption: TrailingDelimiterFormat.java:42-49 decodes record
+    // bytes through its configured encoding)
+    def encodeFrame(rec: Framed): Array[Byte] =
+      encode(new String(rec.key, cs), new String(rec.value, cs))
+    def decodeFrames(bytes: Array[Byte]): Seq[Framed] =
+      decodeAll(bytes).map { case (k, v) =>
+        Framed(k.fold(Array.emptyByteArray)(_.getBytes(cs)), v.getBytes(cs))
+      }
 
     /** decode a full buffer of concatenated records. EOF-tolerant like the
       * reference: a trailing UNTERMINATED value is still a record
@@ -147,7 +182,10 @@ object RecordFormats {
   }
 
   /** Length-prefixed binary format, big-endian int4 lengths. */
-  final class ByteLengthFormat(includeKeys: Boolean) extends Serializable {
+  final class ByteLengthFormat(includeKeys: Boolean) extends RecordFormat {
+
+    def encodeFrame(rec: Framed): Array[Byte] = encode(rec)
+    def decodeFrames(bytes: Array[Byte]): Seq[Framed] = decodeAll(bytes)
 
     def encode(rec: Framed): Array[Byte] = {
       val out = new ByteArrayOutputStream()

@@ -66,8 +66,18 @@ object MetaIO {
         // callback racing that retry could delete/rename under its feet.
         // Bounded like the old per-call pool's awaitTermination.
         val deadline = System.nanoTime() + 60L * 1000 * 1000 * 1000
-        while (inFlight.get() > 0 && System.nanoTime() < deadline)
-          Thread.sleep(5)
+        var interrupted = false
+        while (!interrupted && inFlight.get() > 0 && System.nanoTime() < deadline)
+          try Thread.sleep(5)
+          catch {
+            // an interrupt must not REPLACE the original failure `t` (the
+            // root cause the caller needs) nor silently vanish: record it,
+            // stop the join (the interrupter wants us gone), restore the
+            // flag for the caller's own interrupt handling, rethrow t
+            case _: InterruptedException =>
+              interrupted = true
+              Thread.currentThread().interrupt()
+          }
         throw t
     }
   }

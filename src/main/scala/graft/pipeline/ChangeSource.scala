@@ -55,8 +55,6 @@ final case class KafkaChangeSource(
     startingOffsets: String = "earliest",
     maxOffsetsPerTrigger: Option[Long] = None) extends ChangeSource {
   def load(spark: SparkSession): DataFrame = {
-    val payloadSchema = StructType(
-      schema.fields.filterNot(f => f.name == "partition" || f.name == "offset"))
     val reader = spark.readStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
@@ -64,10 +62,38 @@ final case class KafkaChangeSource(
       .option("startingOffsets", startingOffsets)
     maxOffsetsPerTrigger.foreach(n =>
       reader.option("maxOffsetsPerTrigger", n.toString): Unit)
-    reader.load()
+    KafkaChangeSource.decodeKafkaFrame(reader.load(), schema)
+  }
+}
+
+object KafkaChangeSource {
+  /** The payload columns of a change-event schema: everything except the
+    * two Kafka-record meta columns (partition, offset), which the broker
+    * supplies.
+    */
+  def payloadSchema(schema: StructType): StructType = StructType(
+    schema.fields.filterNot(f => f.name == "partition" || f.name == "offset"))
+
+  /** The Kafka value-decode projection, factored off the streaming reader so
+    * it runs against ANY DataFrame with kafka-shaped columns (`partition`
+    * INT, `offset` LONG, `value` BINARY) — a static test frame here, the
+    * connector's stream in production. This is the engine's converter
+    * boundary, the role the reference delegates to its Connect converters
+    * (valueConverter.toConnectData, source/.../S3SourceTask.java:184-187;
+    * round-trip harness common/src/test/.../FormatTests.java:21-66): the
+    * record's own (partition, offset) become the change event's, and the
+    * JSON document in `value` carries the payload columns.
+    *
+    * Decode is SCHEMA'D (`from_json` against exactly the payload columns),
+    * so it stays whole-stage-codegen'd and malformed documents surface as
+    * nulls in typed columns, never as task crashes.
+    */
+  def decodeKafkaFrame(kafkaFrame: DataFrame, schema: StructType): DataFrame = {
+    val payload = payloadSchema(schema)
+    kafkaFrame
       .select(col("partition"), col("offset"),
-        from_json(col("value").cast("string"), payloadSchema).as("_v"))
+        from_json(col("value").cast("string"), payload).as("_v"))
       .select((Seq(col("partition"), col("offset")) ++
-        payloadSchema.fieldNames.toSeq.map(n => col(s"_v.$n").as(n))): _*)
+        payload.fieldNames.toSeq.map(n => col(s"_v.$n").as(n))): _*)
   }
 }

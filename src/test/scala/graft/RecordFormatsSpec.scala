@@ -102,23 +102,34 @@ class RecordFormatsSpec extends AnyFunSuite {
   }
 
   test("forConfig: aliases, sub-config keys, reflective class loading") {
-    // default = text (Configure.java:18), no key path
-    val dflt = forConfig().asInstanceOf[TrailingDelimiterFormat]
-    assert(dflt.decodeAll("a\nb\n".getBytes("UTF-8")) ===
-      Seq((None, "a"), (None, "b")))
+    // default = text (Configure.java:18), no key path — and the return is
+    // the TYPED RecordFormat contract, usable without a cast
+    val dflt: RecordFormat = forConfig()
+    assert(dflt.decodeFrames("a\nb\n".getBytes("UTF-8"))
+      .map(f => new String(f.value, "UTF-8")) === Seq("a", "b"))
 
     // full text sub-config: the reference's own key names
     val txt = forConfig(Map("format" -> "text", "key.delimiter" -> "\t",
       "value.encoding" -> "UTF-16BE", "key.encoding" -> "UTF-16BE"))
-      .asInstanceOf[TrailingDelimiterFormat]
-    assert(txt.encode("abc", "def") ===
-      "abc\tdef\n".getBytes(Charset.forName("UTF-16BE")))
+    val enc16 = Charset.forName("UTF-16BE")
+    assert(txt.encodeFrame(Framed("abc".getBytes(enc16), "def".getBytes(enc16))) ===
+      "abc\tdef\n".getBytes(enc16))
 
-    // binary alias + include.keys
-    val bin = forConfig(Map("format" -> "binary", "include.keys" -> "false"))
-      .asInstanceOf[ByteLengthFormat]
-    val framed = bin.encode(Framed(Array.emptyByteArray, "xyz".getBytes("UTF-8")))
-    assert(framed.take(4) === Array[Byte](0, 0, 0, 3))
+    // equivalent charset SPELLINGS name one charset — accepted (canonical
+    // Charset comparison, not raw config strings)
+    forConfig(Map("key.delimiter" -> "\t",
+      "key.encoding" -> "utf-8", "value.encoding" -> "UTF-8")): Unit
+
+    // binary alias: include.keys defaults FALSE like the reference
+    // (ByteLengthFormat.java:34-35 — `.filter(f -> f)` keeps only an
+    // explicit true), so a bare format=binary writes VALUE-ONLY frames
+    val binDflt = forConfig(Map("format" -> "binary"))
+    val valueOnly = binDflt.encodeFrame(Framed(Array.emptyByteArray, "xyz".getBytes("UTF-8")))
+    assert(valueOnly.take(4) === Array[Byte](0, 0, 0, 3))
+    assert(valueOnly.length === 7) // no key-length prefix
+    // explicit true adds the key frame
+    val binKeys = forConfig(Map("format" -> "binary", "include.keys" -> "true"))
+    assert(binKeys.encodeFrame(Framed("k".getBytes, "xyz".getBytes)).length === 4 + 1 + 4 + 3)
 
     // dot-scoped sub-config extraction (Configure.subKeys contract)
     assert(scoped(Map("format" -> "text", "format.key.delimiter" -> "\t",
@@ -136,16 +147,28 @@ class RecordFormatsSpec extends AnyFunSuite {
         "key.encoding" -> "UTF-8", "value.encoding" -> "UTF-16BE"))
     }
 
-    // reflection fallback: any FQCN with a zero-arg constructor
+    // reflection fallback: an FQCN implementing the RecordFormat contract
     val custom = forConfig(Map("format" -> classOf[SpecCustomFormat].getName))
     assert(custom.isInstanceOf[SpecCustomFormat])
+    assert(new String(custom.decodeFrames("ab".getBytes).head.value) === "ab")
     intercept[ClassNotFoundException] {
       forConfig(Map("format" -> "com.example.NoSuchFormat"))
     }
+    // an FQCN that does NOT implement RecordFormat is rejected loudly, not
+    // handed back as an uncastable AnyRef
+    val bad = intercept[IllegalArgumentException] {
+      forConfig(Map("format" -> classOf[SpecNotAFormat].getName))
+    }
+    assert(bad.getMessage.contains("does not implement"))
   }
 }
 
 /** a user-supplied format class for the reflective-loading test */
-class SpecCustomFormat {
-  def tag: String = "custom"
+class SpecCustomFormat extends RecordFormat {
+  def encodeFrame(rec: Framed): Array[Byte] = rec.value
+  def decodeFrames(bytes: Array[Byte]): Seq[Framed] =
+    Seq(Framed(Array.emptyByteArray, bytes))
 }
+
+/** reflective loading must reject classes outside the contract */
+class SpecNotAFormat

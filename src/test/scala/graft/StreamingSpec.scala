@@ -88,10 +88,55 @@ class StreamingSpec extends AnyFunSuite {
     // by name); in this sandbox the spark-sql-kafka connector jars are
     // absent, so load() must fail with the standard missing-data-source
     // error — not something cryptic mid-query — documenting that the impl
-    // is runtime-optional exactly as a prod user would experience it
+    // is runtime-optional exactly as a prod user would experience it.
+    // Guarded: if connector jars ever land on the test classpath the
+    // optionality contract is moot, not violated — skip, don't fail.
+    assume(scala.util.Try(Class.forName(
+        "org.apache.spark.sql.kafka010.KafkaSourceProvider")).isFailure,
+      "spark-sql-kafka connector present on classpath")
     val ks = graft.pipeline.KafkaChangeSource(
       "broker:9092", "changes", ChangeGen.changes(spark, 10).schema)
     val e = intercept[Exception] { ks.load(spark) }
-    assert(e.getMessage.toLowerCase.contains("kafka"))
+    val msg = e.getMessage.toLowerCase
+    // the SPECIFIC missing-data-source failure, not any exception that
+    // happens to mention kafka
+    assert(msg.contains("kafka") &&
+      (msg.contains("failed to find") || msg.contains("data_source_not_found")))
+  }
+
+  test("Kafka value-decode round-trips ChangeGen events on a static frame") {
+    import graft.pipeline.KafkaChangeSource
+    // the analogue of the reference's converter round-trip harness
+    // (common/src/test/.../FormatTests.java:21-66): encode events the way
+    // the broker would deliver them — meta columns on the record, payload
+    // as a JSON document in `value` BINARY — then run the REAL decode
+    // projection and demand equality with the originals
+    val changes = ChangeGen.changes(spark, 200, nKeys = 40, partitions = 4)
+    val schema = changes.schema
+    val payloadCols = KafkaChangeSource.payloadSchema(schema).fieldNames.toSeq
+    val kafkaShaped = changes.select(
+      col("partition"), col("offset"),
+      to_json(struct(payloadCols.map(col): _*)).cast("binary").as("value"))
+    val decoded = KafkaChangeSource.decodeKafkaFrame(kafkaShaped, schema)
+    assert(decoded.schema.fieldNames.toSeq === schema.fieldNames.toSeq)
+    assert(decoded.schema.fields.map(f => f.name -> f.dataType).toSeq ===
+      schema.fields.map(f => f.name -> f.dataType).toSeq)
+    assert(decoded.exceptAll(changes).isEmpty && changes.exceptAll(decoded).isEmpty)
+
+    // a malformed document surfaces as typed nulls in the payload columns —
+    // never a task crash (from_json's contract; the meta columns survive)
+    val junk = spark.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(
+        3, 17L, "not a json document".getBytes("UTF-8"))),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("partition",
+          org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("offset",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("value",
+          org.apache.spark.sql.types.BinaryType))))
+    val row = KafkaChangeSource.decodeKafkaFrame(junk, schema).collect().head
+    assert(row.getInt(0) === 3 && row.getLong(1) === 17L)
+    payloadCols.indices.foreach(i => assert(row.isNullAt(2 + i)))
   }
 }
