@@ -178,6 +178,41 @@ object ScalingBench {
   def measureOnce(cores: Int, nEvents: Long, nBatches: Int): (Double, Long) =
     measureFresh(cores, nEvents, nBatches)
 
+  /** One fresh-JVM run of the CPU-bound probe (the unchanged-since-r01
+    * compute kernel) at the same core count and event volume as a scale
+    * measurement — the window's own capacity reference, embedded next to
+    * the graded number so a contended window is visible in the artifact.
+    */
+  def probeOnce(cores: Int, nEvents: Long): (Double, Long) =
+    measureFresh(cores, nEvents, 0, "--cpuprobe")
+
+  /** Run `mainClass args…` in a fresh child JVM with this JVM's classpath
+    * and return the last stdout line starting with `{` (the tool's one JSON
+    * line), or Left(diagnostic) on failure. Streams to temp files like
+    * [[measureFresh]] — reading a pipe to EOF can deadlock on a full stderr.
+    */
+  def launchJson(mainClass: String, args: Seq[String]): Either[String, String] = {
+    val java = s"${System.getProperty("java.home")}/bin/java"
+    val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
+    val cmd = Seq(java, "-cp", System.getProperty("java.class.path"),
+      s"-Xmx$heap", "-Dspark.ui.enabled=false",
+      "-Dspark.sql.session.timeZone=UTC") ++ jdk17AddOpens ++
+      Seq(mainClass) ++ args
+    val outF = _root_.java.io.File.createTempFile("graft-launch-out", ".log")
+    val errF = _root_.java.io.File.createTempFile("graft-launch-err", ".log")
+    val pb = new ProcessBuilder(cmd: _*)
+    pb.redirectOutput(outF)
+    pb.redirectError(errF)
+    val code = pb.start().waitFor()
+    val out = _root_.java.nio.file.Files.readString(outF.toPath)
+    val err = _root_.java.nio.file.Files.readString(errF.toPath)
+    outF.delete(); errF.delete()
+    val json = out.linesIterator.filter(_.startsWith("{")).toSeq.lastOption
+    // a FAILING check still prints its JSON row before exiting nonzero —
+    // that row (pass:false) is the evidence, so prefer it to the exit code
+    json.toRight(s"exit $code, no JSON line: ${err.takeRight(800)}")
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.headOption.contains("--single")) {
       val (dt, n) = runSingle(args(1).toInt, args(2).toLong, args(3).toInt)

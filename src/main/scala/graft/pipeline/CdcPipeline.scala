@@ -22,6 +22,27 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * side applies — the pair is effectively atomic under at-least-once
   * redelivery without requiring journal-before-lake ordering.
   */
+/** Opt-in in-pipeline maintenance cadence. The reference connector gets
+  * retention "for free" from S3 lifecycle policy on its bucket (SURVEY.md
+  * §2.0 journal-retention row); this engine owns its files, so a
+  * long-running streaming deployment must own the reclaim cadence too — or
+  * the journal grows without bound. Every `everyNBatches` committed
+  * batches the pipeline truncates the journal to the LAKE's committed
+  * watermarks (events safely merged and replayable from the table itself;
+  * files straddling the watermark are kept whole) and, if `vacuumKeepLast
+  * >= 1`, vacuums old lake snapshots. Both calls are idempotent
+  * maintenance over committed state: a crash between the batch commit and
+  * the maintenance pass costs nothing but deferred cleanup, and a batch
+  * REPLAY re-running them is harmless by the same idempotence.
+  */
+final case class RetentionPolicy(
+    everyNBatches: Int,
+    journalGraceMs: Long = 24L * 3600 * 1000,
+    vacuumKeepLast: Int = 0, // 0 = no snapshot vacuum
+    orphanGraceMs: Long = 24L * 3600 * 1000) {
+  require(everyNBatches >= 1, "retention cadence must be >= 1 batch")
+}
+
 final class CdcPipeline(
     spark: SparkSession,
     journalRoot: String,
@@ -29,7 +50,8 @@ final class CdcPipeline(
     chunkBytes: Long = 64L * 1024 * 1024,
     subBuckets: Int = 16,
     journalEnabled: Boolean = true,
-    appId: String = "graft") {
+    appId: String = "graft",
+    retention: Option[RetentionPolicy] = None) {
   // appId is the writer identity for epoch fencing (Delta's txnAppId
   // pattern). A restart resuming THE SAME checkpoint must reuse the same
   // appId (fencing replays); a run with a FRESH checkpoint must use a NEW
@@ -69,6 +91,18 @@ final class CdcPipeline(
       jr.get: Unit
       mr.get: Unit
     } else lake.merge(batch, batchId): Unit
+    // maintenance AFTER the batch's own commits: truncating to the lake's
+    // committed watermarks can only ever drop journal files whose events
+    // the lake already holds durably, so the pair (commit, maintain) needs
+    // no atomicity — a crash in between merely defers cleanup to the next
+    // cadence hit, and a replayed batch re-running it is an idempotent no-op
+    retention.foreach { r =>
+      if ((batchId + 1) % r.everyNBatches == 0) {
+        if (journalEnabled) journal.truncate(lake.watermarks(), r.journalGraceMs): Unit
+        if (r.vacuumKeepLast >= 1)
+          lake.vacuum(r.vacuumKeepLast, r.orphanGraceMs): Unit
+      }
+    }
     if (timing) System.err.println(
       f"[timing] batch $batchId wall=${(System.nanoTime() - t0) / 1e9}%.2fs")
   }

@@ -94,6 +94,26 @@ object CdcQueries {
     root
   }
 
+  /** Build-once-per-JVM shared TWO-TOPIC archive (the change log split by
+    * op into `upserts`/`deletes` file families in one bucket), used by the
+    * multi-topic read gate and the config-driven remap gate.
+    */
+  private def sharedMultiTopicArchive(s: SparkSession, dir: String): String = {
+    val (root, ready) = Staging.cached(s, "gzarch-multi-" + dirTag(dir))
+    if (!ready) {
+      val lines = changes(s, dir).select(
+        when(col("op") === "delete", lit("deletes"))
+          .otherwise(lit("upserts")).as("topic"),
+        col("partition"), col("offset"),
+        noNewline(concat(col("repo"), lit("/"), col("path"), lit("\t"),
+          coalesce(col("content"), lit("")))).as("line"))
+      graft.sources.GzArchive.writeArchiveTopics(lines, root, "offset",
+        chunkThreshold = 4096, recordsPerFile = 2000)
+      Staging.markReady(s, root)
+    }
+    root
+  }
+
   val defs: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // K1/G2 — deterministic block chunk assignment (BlockGZIPFileWriter port)
@@ -379,19 +399,23 @@ object CdcQueries {
     // then read back with the topic-set cursor-trusted read — each record
     // carrying its topic, checksummed per (topic, partition).
     "cdc_gz_archive_multitopic" -> { (s, dir) =>
-      val (root, ready) = Staging.cached(s, "gzarch-multi-" + dirTag(dir))
-      if (!ready) {
-        val lines = changes(s, dir).select(
-          when(col("op") === "delete", lit("deletes"))
-            .otherwise(lit("upserts")).as("topic"),
-          col("partition"), col("offset"),
-          noNewline(concat(col("repo"), lit("/"), col("path"), lit("\t"),
-            coalesce(col("content"), lit("")))).as("line"))
-        graft.sources.GzArchive.writeArchiveTopics(lines, root, "offset",
-          chunkThreshold = 4096, recordsPerFile = 2000)
-        Staging.markReady(s, root)
-      }
-      graft.sources.GzArchive.readCommittedTopics(s, root)
+      graft.sources.GzArchive.readCommittedTopics(s, sharedMultiTopicArchive(s, dir))
+        .groupBy(col("topic"), col("partition"))
+        .agg(count(lit(1)).as("n"),
+          min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
+          sum(md5SumTerm(col("value"))).as("line_sum"))
+    },
+
+    // S1b × source config — the reference's `targetTopic.{orig}` per-topic
+    // output remap (S3SourceTask.java:40,223-225; README.md:176) composed
+    // over the multi-topic cursor-trusted read: the `deletes` family lands
+    // under its TARGET name `tombstones`, `upserts` (no config entry)
+    // passes through — proving the config shape drives the rename and
+    // unmapped topics are untouched
+    "cdc_gz_archive_remap" -> { (s, dir) =>
+      graft.sources.GzArchive.readCommittedTopics(
+          s, sharedMultiTopicArchive(s, dir), Set.empty,
+          Map("targetTopic.deletes" -> "tombstones"))
         .groupBy(col("topic"), col("partition"))
         .agg(count(lit(1)).as("n"),
           min(col("offset")).as("min_offset"), max(col("offset")).as("max_offset"),
@@ -615,6 +639,16 @@ object CdcQueries {
     // max is the per-group count minus one
     "cdc_gz_archive_multitopic" -> duck(
       s"""SELECT CASE WHEN op = 'delete' THEN 'deletes' ELSE 'upserts' END AS topic,
+        |       partition, count(*) AS n,
+        |       CAST(0 AS BIGINT) AS min_offset,
+        |       count(*) - 1 AS max_offset,
+        |       CAST(sum(${duckMd5SumTerm("repo || '/' || path || chr(9) || coalesce(content, '')")}) AS BIGINT) AS line_sum
+        |FROM changes GROUP BY 1, 2""".stripMargin),
+
+    // same bucket through the targetTopic.{orig} remap: `deletes` emitted
+    // under its configured target name, `upserts` (unmapped) unchanged
+    "cdc_gz_archive_remap" -> duck(
+      s"""SELECT CASE WHEN op = 'delete' THEN 'tombstones' ELSE 'upserts' END AS topic,
         |       partition, count(*) AS n,
         |       CAST(0 AS BIGINT) AS min_offset,
         |       count(*) - 1 AS max_offset,

@@ -952,6 +952,55 @@ object GzArchive {
     readTasks(spark, fetchTasks(fs, root, acked))
   }
 
+  /** The reference source's per-topic OUTPUT remap, config shape
+    * `targetTopic.{original} = target` (S3SourceTask.java:40,223-225;
+    * README.md:176 — "targetTopic.foo=bar would send messages originally in
+    * topic foo to topic bar"): parse a properties map down to the
+    * original→target pairs. Topics without an entry pass through unchanged,
+    * exactly the reference's `getOrDefault(..., originalTopic)`.
+    */
+  def topicRemap(props: Map[String, String]): Map[String, String] =
+    props.collect {
+      case (k, v) if k.startsWith("targetTopic.") &&
+          k.length > "targetTopic.".length =>
+        k.stripPrefix("targetTopic.") -> v
+    }
+
+  /** Apply a topic remap to any topic-carrying frame. The map rides the
+    * plan as a broadcast-free LITERAL map lookup (a handful of configured
+    * topics, like the reference's in-memory `topicMapping`), so the rename
+    * stays inside whole-stage codegen — no per-row driver logic, no UDF.
+    */
+  def remapTopics(df: DataFrame, remap: Map[String, String]): DataFrame =
+    if (remap.isEmpty) df
+    else {
+      val entries = remap.toSeq.sortBy(_._1)
+        .flatMap { case (o, t) => Seq(lit(o), lit(t)) }
+      df.withColumn("topic",
+        coalesce(element_at(map(entries: _*), col("topic")), col("topic")))
+    }
+
+  /** [[readCommittedTopics]] with the reference's config-driven remap
+    * composed over it: records land under their TARGET topic names. The
+    * `topics` restriction and the bucket's cursor protocol operate on
+    * ORIGINAL names (the bucket's own file families); only the emitted
+    * column is renamed — same order of operations as the reference, which
+    * filters/lists by original topic and remaps at record construction
+    * (S3SourceTask.java:183).
+    */
+  def readCommittedTopics(spark: SparkSession, root: String,
+      topics: Set[String], props: Map[String, String]): DataFrame =
+    remapTopics(readCommittedTopics(spark, root, topics), topicRemap(props))
+
+  /** [[readFromTopics]] with the config-driven remap. `committed` floors
+    * key on ORIGINAL (topic, partition) — resume state tracks the bucket's
+    * layout, the rename is output-side only.
+    */
+  def readFromTopics(spark: SparkSession, root: String,
+      committed: Map[(String, Int), Long],
+      props: Map[String, String]): DataFrame =
+    remapTopics(readFromTopics(spark, root, committed), topicRemap(props))
+
   private def readSmall(fs: FileSystem, p: Path): String = {
     val len = fs.getFileStatus(p).getLen
     require(len <= (16 << 20), s"$p unreasonably large for a metadata file")

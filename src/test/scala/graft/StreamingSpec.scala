@@ -83,6 +83,53 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("retention policy keeps the journal bounded across batches and restarts") {
+    val src = SparkTestSession.tempDir("rsrc")
+    val ckpt = SparkTestSession.tempDir("rckpt")
+    val jr = SparkTestSession.tempDir("rjournal")
+    val lr = SparkTestSession.tempDir("rlake")
+    val changes = ChangeGen.changes(spark, 1200, nKeys = 100, partitions = 4,
+      deletePct = 10)
+    val schema = changes.schema
+    val half1 = changes.filter(col("offset") < 150)
+    val half2 = changes.filter(col("offset") >= 150)
+    // aggressive cadence for the test: truncate-to-lake-watermarks after
+    // EVERY batch, zero grace (no concurrent readers here), vacuum to the
+    // newest lake snapshot
+    val policy = graft.pipeline.RetentionPolicy(everyNBatches = 1,
+      journalGraceMs = 0L, vacuumKeepLast = 1, orphanGraceMs = 0L)
+    def journalParquets(): Int = {
+      def walk(f: java.io.File): Int =
+        if (f.isDirectory) Option(f.listFiles()).map(_.map(walk).sum).getOrElse(0)
+        else if (f.getName.endsWith(".parquet")) 1 else 0
+      walk(new java.io.File(jr))
+    }
+
+    shipSlices(half1, src, 3)
+    val p1 = new CdcPipeline(spark, jr, lr, chunkBytes = 8192, subBuckets = 4,
+      retention = Some(policy))
+    p1.stream(src, ckpt, schema, maxFilesPerTrigger = 1).awaitTermination()
+    // every appended file's events are in the lake, so the per-batch
+    // truncate reclaimed them all — the journal does not grow with history
+    assert(journalParquets() === 0)
+
+    // restart from the same checkpoint with more data: resume offsets are
+    // untouched by truncation, so the stream continues (no re-ingest, no
+    // gap) even though the already-merged journal bytes are gone
+    shipSlices(half2, src, 3)
+    val p2 = new CdcPipeline(spark, jr, lr, chunkBytes = 8192, subBuckets = 4,
+      retention = Some(policy))
+    p2.stream(src, ckpt, schema, maxFilesPerTrigger = 1).awaitTermination()
+    assert(journalParquets() === 0)
+    assert(p2.journal.read().count() === 0L) // an empty journal still reads
+
+    val got = p2.lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(changes)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("KafkaChangeSource is optional: clear failure without connector jars") {
     // the Kafka boundary compiles against spark-sql alone (format resolved
     // by name); in this sandbox the spark-sql-kafka connector jars are
