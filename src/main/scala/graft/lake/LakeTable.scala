@@ -342,27 +342,56 @@ final class LakeTable(
     val sb = layoutSubBuckets
     val withSub = deduped.withColumn("_sub", subExpr(sb))
 
-    // ONE aggregation job yields both the per-partition lineage stats
-    // (grouped on the driver — watermarks must advance over deletes too) and
-    // the touched-bucket set. Micro-batch throughput is bounded by per-job
-    // fixed cost as much as by data volume; every saved job counts.
-    val bucketRows = withSub.groupBy(col("partition"), col("_sub")).agg(
-      max(col("offset")).as("maxOff"), min(col("offset")).as("minOff"),
-      count(lit(1)).as("n"),
-      sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("nUp"))
-      .collect()
+    // The pre-pass cannot disappear entirely: its touched-bucket set gates
+    // the STATE read (file-level pruning — untouched buckets never leave
+    // disk), which must happen before the merge write. But it can shrink:
+    // `observe` mode prunes the pre-pass to the three columns `_sub`
+    // actually needs (partition, repo, path) and a distinct, and collects
+    // the per-partition lineage/watermark stats DURING the write job via an
+    // `Observation` on the batch side of the union — the write scans the
+    // batch anyway, so those aggregates ride an existing pass instead of
+    // paying their own scan of `offset`/`op`.
+    //
+    // MEASURED (r5, fresh JVMs, interleaved pairs — BENCH/BASELINE.md):
+    // observe wins ~2% on a parquet-backed batch (sf0.1 gate: stats 3.4 →
+    // 2.9 s, write +0.2 s) but LOSES ~12% on the cached-generator ingest
+    // the scaling rule grades (local[8] 2M×4: 20.0 → 22.9 s best-of-3) —
+    // CollectMetricsExec evaluates its conditional aggregates interpreted,
+    // per row, inside the write's hot path, where the separate pre-pass
+    // scan was nearly free against a cached source. Default is therefore
+    // `agg`; `-Dgraft.merge.stats=observe` (or the env var) keeps the
+    // alternative runnable — it is the right trade when batch scans are
+    // expensive relative to write throughput.
+    val statsMode = sys.props.get("graft.merge.stats")
+      .orElse(sys.env.get("GRAFT_MERGE_STATS")).getOrElse("agg")
+    // agg mode fills statRows here; observe mode defers them to the write
+    var aggStatRows: Seq[(Int, Long, Long, Long, Long)] = Nil
+    val touched: Set[(Int, Int)] =
+      if (statsMode == "agg") {
+        val bucketRows = withSub.groupBy(col("partition"), col("_sub")).agg(
+          max(col("offset")).as("maxOff"), min(col("offset")).as("minOff"),
+          count(lit(1)).as("n"),
+          sum(when(col("op") === "upsert", 1L).otherwise(0L)).as("nUp"))
+          .collect()
+        // partition-level rollup: (partition, maxOff, minOff, n, nUp)
+        aggStatRows = bucketRows.groupBy(_.getInt(0)).map { case (p, rs) =>
+          (p, rs.map(_.getLong(2)).max, rs.map(_.getLong(3)).min,
+            rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum)
+        }.toSeq
+        bucketRows.map(r => (r.getInt(0), r.getInt(1))).toSet
+      } else {
+        withSub.select(col("partition"), col("_sub")).distinct().collect()
+          .map(r => (r.getInt(0), r.getInt(1))).toSet
+      }
     mark("stats")
-    if (bucketRows.isEmpty) {
+    if (touched.isEmpty) {
       commit(Delta(Nil, Nil), wm, newSchemas, batchId, Nil, sb)
       return 0L
     }
-    // partition-level rollup: (partition, maxOff, minOff, n, nUp)
-    val statRows = bucketRows.groupBy(_.getInt(0)).map { case (p, rs) =>
-      (p, rs.map(_.getLong(2)).max, rs.map(_.getLong(3)).min,
-        rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum)
-    }.toSeq
-    val touched: Set[(Int, Int)] =
-      bucketRows.map(r => (r.getInt(0), r.getInt(1))).toSet
+    // the partitions this batch touches — bounded by the topic's partition
+    // count (a Kafka-shaped constant, not data volume), so 4 conditional
+    // aggregates per partition in the observe node stay cheap
+    val touchedParts = touched.map(_._1).toSeq.sorted
 
     val touchedFiles =
       liveFiles().filter(f => touched.contains((f.partition, f.sub)))
@@ -395,13 +424,41 @@ final class LakeTable(
     // Within-batch LWW, state-vs-batch preference, and write layout all ride
     // the same single exchange. Partial aggregation still combines hot keys
     // map-side (the implicit salting the north star's skew story needs).
-    val newShaped = shape(withSub).withColumn("_new", lit(1))
+    // observe mode: the per-partition lineage/watermark stats ride the write
+    // job's existing batch scan as an `Observation` (CollectMetrics) node.
+    // It sits on the BATCH side only (state rows must not count toward batch
+    // lineage) and BEFORE the survivors filter (watermarks must advance over
+    // deletes too). Grouped-by-partition shape is expressed as conditional
+    // aggregates over the touched partitions — bounded by the topic's
+    // partition count, not data volume.
+    val obs =
+      if (statsMode == "agg") None
+      else Some(org.apache.spark.sql.Observation(
+        s"merge-$batchId-${java.util.UUID.randomUUID().toString.take(8)}"))
+    val newShaped = obs.fold(shape(withSub)) { o =>
+      val statExprs = touchedParts.flatMap { p =>
+        val in = col("partition") === p
+        Seq(max(when(in, col("offset"))).as(s"max_$p"),
+          min(when(in, col("offset"))).as(s"min_$p"),
+          sum(when(in, 1L).otherwise(0L)).as(s"n_$p"),
+          sum(when(in && col("op") === "upsert", 1L).otherwise(0L)).as(s"nup_$p"))
+      }
+      shape(withSub).observe(o, statExprs.head, statExprs.tail: _*)
+    }.withColumn("_new", lit(1))
     val unioned = state match {
       case None => newShaped
-      case Some(st) => shape(st.withColumn("op", lit("upsert")))
-        .withColumn("_new", lit(0)).unionByName(newShaped)
+      case Some(st) => newShaped.unionByName(
+        shape(st.withColumn("op", lit("upsert"))).withColumn("_new", lit(0)))
     }
     val mcols = unioned.columns.filter(_ != "_new")
+    // NOTE the union order above: the BATCH-derived side is the LEFT
+    // operand, so the written dataset keeps the batch's SparkSession. In
+    // streaming foreachBatch the batch rides a cloned session while state
+    // (readFiles) rides the constructor session, and Observation delivery
+    // is per-session (ExecutionListenerBus filters on the executing qe's
+    // sessionUUID) — with state on the left, the stats observation above
+    // would never complete (measured: every streaming merge with non-empty
+    // state starved until the 30s fallback).
     val merged0 = unioned
       .repartition(col("partition"), col("_sub"))
       .groupBy(col("partition"), col("_sub"), col("repo"), col("path"))
@@ -423,6 +480,36 @@ final class LakeTable(
       .drop("_sub")
       .write.mode("overwrite").partitionBy("_pp", "_ss")
       .parquet(staging.toString)
+    // (partition, maxOff, minOff, n, nUp) — from the pre-pass (agg mode) or
+    // the write job's completed observation. The wait is BOUNDED: metrics
+    // normally arrive within milliseconds of the write above, but delivery
+    // is per-session (see the union-order note below) and a library must
+    // not hang on a caller's session plumbing — on timeout fall back
+    // LOUDLY to a dedicated stats scan, under the same deterministic-
+    // source contract as the write's own recompute.
+    val statRows: Seq[(Int, Long, Long, Long, Long)] = obs match {
+      case None => aggStatRows
+      case Some(o) =>
+        val holder = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]]
+        val waiter = new Thread(() => holder.set(o.get), "graft-merge-obs-wait")
+        waiter.setDaemon(true); waiter.start(); waiter.join(30000)
+        Option(holder.get) match {
+          case Some(m) =>
+            touchedParts.map { p =>
+              (p, m(s"max_$p").asInstanceOf[Long], m(s"min_$p").asInstanceOf[Long],
+                m(s"n_$p").asInstanceOf[Long], m(s"nup_$p").asInstanceOf[Long])
+            }
+          case None =>
+            System.err.println("[graft] WARN: merge stats observation not " +
+              "delivered in 30s (listener-starved thread?) — recomputing " +
+              "with a dedicated scan")
+            withSub.groupBy(col("partition")).agg(
+              max(col("offset")), min(col("offset")), count(lit(1)),
+              sum(when(col("op") === "upsert", 1L).otherwise(0L)))
+              .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+                r.getLong(3), r.getLong(4))).toSeq
+        }
+    }
     mark("write")
 
     // The write evaluated the batch a second time (no persist): it must

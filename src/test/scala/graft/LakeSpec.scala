@@ -39,6 +39,38 @@ class LakeSpec extends AnyFunSuite {
     assertMatchesOracle(lake, changes)
   }
 
+  test("observe stats mode: identical state, watermarks, and lineage") {
+    // the measured-alternative stats path (LakeTable.merge `observe` mode:
+    // 3-column distinct pre-pass + Observation riding the write job) must be
+    // indistinguishable from the default `agg` pre-pass in everything the
+    // commit records — state rows, per-partition watermarks, lineage counts.
+    // Runs multi-batch through the pipeline so state-present merges (the
+    // session-delivery case the union order fixes) are exercised; a
+    // starvation would surface as this test taking 30s+/batch via the loud
+    // fallback.
+    val changes = ChangeGen.changes(spark, 2500, nKeys = 200, partitions = 4,
+      deletePct = 15)
+    def run(mode: String, tag: String) = {
+      System.setProperty("graft.merge.stats", mode)
+      try {
+        val p = new CdcPipeline(spark, SparkTestSession.tempDir(s"jo-$tag"),
+          SparkTestSession.tempDir(s"lo-$tag"), chunkBytes = 4096,
+          subBuckets = 4, journalEnabled = false)
+        p.runBatches(changes, 5)
+        p.lake
+      } finally System.clearProperty("graft.merge.stats"): Unit
+    }
+    val aggLake = run("agg", "agg")
+    val obsLake = run("observe", "obs")
+    assertMatchesOracle(obsLake, changes)
+    assert(obsLake.watermarks() === aggLake.watermarks())
+    def lineage(l: LakeTable) = l.lineage()
+      .select("batchId", "partition", "firstOffset", "lastOffset",
+        "numEvents", "numUpserts", "numDeletes")
+      .collect().map(_.toSeq).sortBy(_.toString)
+    assert(lineage(obsLake).toSeq === lineage(aggLake).toSeq)
+  }
+
   test("multi-batch merge equals oracle; watermarks advance") {
     val changes = ChangeGen.changes(spark, 3000, nKeys = 200, partitions = 4,
       deletePct = 20)
