@@ -311,17 +311,29 @@ final class ChangeJournal(
     if (dead.nonEmpty) {
       commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
         removed = dead.map(_.get("path").asText))
-      // manifests strictly below the NEW current checkpoint version are
-      // unreachable from any live fold chain — tombstone them (one root
-      // listing, not one exists() probe per historical version)
+      // Manifests strictly below the NEW current checkpoint version are
+      // unreachable from any live fold chain. Their names are DERIVED, not
+      // listed: versions are sequential, so the not-yet-tombstoned range is
+      // exactly [W, ckpt) where W rides a tiny watermark file — no root
+      // listStatus per truncate (previously the one per-truncate cost that
+      // grew with unreaped history). Synthesizing a name whose manifest
+      // never landed or was already reaped is harmless — reap's deletes are
+      // idempotent — and the watermark advances only AFTER the tombstones
+      // are durable, so a crash in between merely re-covers the same range
+      // next truncate (deduped below, bounded by the grace window). The
+      // first truncate of a pre-watermark journal migrates with one root
+      // listing.
       val ckpt = manifest()
         .map(m => Option(m.get("checkpointVersion")).map(_.asLong)
           .getOrElse(m.get("version").asLong))
         .getOrElse(0L)
-      val supersededManifests = io.fs.listStatus(io.rootPath).toSeq
-        .map(_.getPath.getName)
-        .filter(_.matches("""manifest-\d{12,}\.json""")) // %012d grows past 12 digits
-        .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong < ckpt)
+      val supersededManifests = tombstoneWatermark() match {
+        case Some(w) => (w until ckpt).map(v => f"manifest-$v%012d.json")
+        case None => io.fs.listStatus(io.rootPath).toSeq
+          .map(_.getPath.getName)
+          .filter(_.matches("""manifest-\d{12,}\.json""")) // %012d grows past 12 digits
+          .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong < ckpt)
+      }
       // dedupe against tombstones already pending: unreaped manifests stay
       // on disk for the whole grace window, and re-naming them every
       // truncate would pile up duplicate tombstone files at a
@@ -329,6 +341,7 @@ final class ChangeJournal(
       // same way via its known set)
       pendingAdd((dead.map(_.get("path").asText) ++ supersededManifests)
         .filterNot(alreadyPending()))
+      io.writeAtomic(tombstoneWatermarkPath, s"""{"manifestsBelow":$ckpt}""")
     }
     reapPending(graceMs)
     dead.size
@@ -336,6 +349,20 @@ final class ChangeJournal(
 
   private def pendingDir = new Path(io.rootPath, "pending-delete")
   private def legacyPendingPath = new Path(io.rootPath, "pending-delete.json")
+  private def tombstoneWatermarkPath =
+    new Path(io.rootPath, "tombstone-watermark.json")
+
+  /** manifest versions strictly below this are already tombstoned (or
+    * reaped); absent on journals that have never truncated post-upgrade.
+    * Concurrency is forgiving by construction: a zombie writer regressing
+    * the watermark only widens the next truncate's range over
+    * already-handled versions, which dedup + idempotent reap absorb.
+    */
+  private def tombstoneWatermark(): Option[Long] =
+    if (!io.fs.exists(tombstoneWatermarkPath)) None
+    else try Some(Json.parse(io.readString(tombstoneWatermarkPath))
+      .get("manifestsBelow").asLong)
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** paths already named by a pending tombstone (so truncates don't re-name
     * the same unreaped garbage every pass); bounded by the grace window

@@ -202,6 +202,64 @@ class JournalSpec extends AnyFunSuite {
     assert(coldGot.exceptAll(want).isEmpty && want.exceptAll(coldGot).isEmpty)
   }
 
+  test("superseded manifests reclaim via the version watermark, no root list") {
+    import graft.gen.ChangeGen
+    import graft.lake.Json
+    val root = SparkTestSession.tempDir("jwm")
+    def manifestsOnDisk(): Seq[Long] =
+      new java.io.File(root).listFiles().toSeq.map(_.getName)
+        .filter(_.matches("""manifest-\d{12,}\.json"""))
+        .map(_.stripPrefix("manifest-").stripSuffix(".json").toLong).sorted
+    def ckptOf(j: ChangeJournal): Long = {
+      val snap = Json.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root, "snapshot.json")))
+      val m = Json.parse(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(root, snap.get("manifest").asText)))
+      Option(m.get("checkpointVersion")).map(_.asLong)
+        .getOrElse(m.get("version").asLong)
+    }
+    val j = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
+    val changes = ChangeGen.changes(spark, 2400, partitions = 2) // offsets 0..1199
+    def slice(lo: Long, hi: Long) =
+      changes.filter(col("offset") >= lo && col("offset") < hi)
+    (0 until 4).foreach(i => j.append(slice(i * 150L, (i + 1) * 150L), i.toLong))
+    // first truncate: migration path (no watermark yet) — then the file
+    // exists and records the checkpoint version
+    j.truncate(Map(0 -> 299L, 1 -> 299L), graceMs = 0L)
+    val wmPath = java.nio.file.Paths.get(root, "tombstone-watermark.json")
+    assert(java.nio.file.Files.exists(wmPath), "watermark lands on truncate")
+    val w1 = Json.parse(java.nio.file.Files.readString(wmPath))
+      .get("manifestsBelow").asLong
+    assert(w1 === ckptOf(j))
+    assert(manifestsOnDisk().forall(_ >= w1),
+      s"zero-grace truncate reclaims every manifest below $w1: ${manifestsOnDisk()}")
+    // later truncates derive the range from the watermark alone; superseded
+    // manifests from the appends in between still get reclaimed
+    (4 until 8).foreach(i => j.append(slice(i * 150L, (i + 1) * 150L), i.toLong))
+    j.truncate(Map(0 -> 599L, 1 -> 599L), graceMs = 0L)
+    val w2 = Json.parse(java.nio.file.Files.readString(wmPath))
+      .get("manifestsBelow").asLong
+    assert(w2 > w1 && w2 === ckptOf(j))
+    assert(manifestsOnDisk().forall(_ >= w2),
+      s"watermark-derived truncate reclaims below $w2: ${manifestsOnDisk()}")
+    // a REGRESSED watermark (zombie writer raced the file) is absorbed:
+    // the next DROPPING truncate re-covers already-reaped versions, whose
+    // deletes are idempotent no-ops, and the cold log stays exact (the
+    // watermark advances only when a truncate commits, i.e. drops files)
+    java.nio.file.Files.deleteIfExists( // hadoop LocalFS checksum sidecar
+      java.nio.file.Paths.get(root, ".tombstone-watermark.json.crc"))
+    java.nio.file.Files.writeString(wmPath, """{"manifestsBelow":0}""")
+    j.append(slice(1200L, 1350L), 8L) // empty-range append keeps ids moving
+    j.truncate(Map(0 -> 899L, 1 -> 899L), graceMs = 0L)
+    assert(Json.parse(java.nio.file.Files.readString(wmPath))
+      .get("manifestsBelow").asLong === ckptOf(j))
+    val cold = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
+    val want = changes.filter(col("offset") >= 900L)
+      .select("partition", "offset", "content")
+    val got = cold.read().select("partition", "offset", "content")
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("legacy pending-delete.json migrates to append-only tombstone files") {
     val root = SparkTestSession.tempDir("jlegacy")
     val j = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
