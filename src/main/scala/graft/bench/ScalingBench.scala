@@ -103,7 +103,8 @@ object ScalingBench {
     * `SINGLE_RESULT <seconds> <events>` line it prints.
     */
   private def measureFresh(cores: Int, nEvents: Long, nBatches: Int,
-      mode: String = "--single"): (Double, Long) = {
+      mode: String = "--single",
+      env: Map[String, String] = Map.empty): (Double, Long) = {
     val java = s"${System.getProperty("java.home")}/bin/java"
     val heap = sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")
     val modeArgs = if (mode == "--single")
@@ -119,6 +120,7 @@ object ScalingBench {
     val outF = _root_.java.io.File.createTempFile("graft-scaling-out", ".log")
     val errF = _root_.java.io.File.createTempFile("graft-scaling-err", ".log")
     val pb = new ProcessBuilder(cmd: _*)
+    env.foreach { case (k, v) => pb.environment().put(k, v): Unit }
     pb.redirectOutput(outF)
     pb.redirectError(errF)
     val proc = pb.start()
@@ -177,6 +179,16 @@ object ScalingBench {
     */
   def measureOnce(cores: Int, nEvents: Long, nBatches: Int): (Double, Long) =
     measureFresh(cores, nEvents, nBatches)
+
+  /** [[measureOnce]] with journal+lake+input on `root` (e.g. `/dev/shm`):
+    * the BENCH/BASELINE.md "tables on tmpfs" protocol, where per-run storage
+    * bandwidth stands in for a real cluster's per-executor disks instead of
+    * this sandbox's one shared virtio device.
+    */
+  def measureOnceRoot(cores: Int, nEvents: Long, nBatches: Int,
+      root: String): (Double, Long) =
+    measureFresh(cores, nEvents, nBatches,
+      env = Map("GRAFT_SCALING_ROOT" -> root))
 
   /** One fresh-JVM run of the CPU-bound probe (the unchanged-since-r01
     * compute kernel) at the same core count and event volume as a scale
