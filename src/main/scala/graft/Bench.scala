@@ -85,7 +85,7 @@ object Bench {
           s""""ingest_over_probe_wall":$ratio,""" +
           s""""quiet_window_ratio_reference":"1.9-2.2 (BENCH/BASELINE.md)",""" +
           s""""tmpfs_baseline_shape":$tmpfsJson,""" +
-          s""""before_headline":true,"parent_session_stopped":true}"""
+          s""""before_headline":true}"""
       } catch {
         case e: Throwable =>
           System.err.println(s"[bench] scale row failed: ${e.getMessage}")
@@ -194,7 +194,12 @@ object Bench {
           Seq(n.toString, "4", hot.toString)) match {
           case Right(j) => j
           case Left(e) =>
-            val msg = e.replaceAll("[\"\\\\\n\r\t]", " ").take(300)
+            // strip EVERYTHING outside printable ASCII, not just the JSON
+            // metacharacters: an ANSI escape or stray control byte in a
+            // child's stderr tail would make the one graded line unparseable
+            // — the exact bench-grade loss mode this file guards against
+            val msg = e.replaceAll("[^\\x20-\\x7E]", " ")
+              .replaceAll("[\"\\\\]", " ").take(300)
             s"""{"check":"large_scale_lww","hot_pct":$hot,"pass":false,"error":"$msg"}"""
         }
       }.mkString("[", ",", "]")

@@ -327,9 +327,15 @@ final class ChangeJournal(
         .map(m => Option(m.get("checkpointVersion")).map(_.asLong)
           .getOrElse(m.get("version").asLong))
         .getOrElse(0L)
+      // a regressed/ancient watermark could derive a range of millions of
+      // synthetic names (driver memory + delete-RPC cliff the old bounded
+      // listing could never hit) — past this bound the listing, bounded by
+      // what actually exists, is the cheaper and safer source
+      val maxDerivedRange = 4096L
       val supersededManifests = tombstoneWatermark() match {
-        case Some(w) => (w until ckpt).map(v => f"manifest-$v%012d.json")
-        case None => io.fs.listStatus(io.rootPath).toSeq
+        case Some(w) if ckpt - w <= maxDerivedRange =>
+          (w until ckpt).map(v => f"manifest-$v%012d.json")
+        case _ => io.fs.listStatus(io.rootPath).toSeq
           .map(_.getPath.getName)
           .filter(_.matches("""manifest-\d{12,}\.json""")) // %012d grows past 12 digits
           .filter(_.stripPrefix("manifest-").stripSuffix(".json").toLong < ckpt)
@@ -360,9 +366,14 @@ final class ChangeJournal(
     */
   private def tombstoneWatermark(): Option[Long] =
     if (!io.fs.exists(tombstoneWatermarkPath)) None
-    else try Some(Json.parse(io.readString(tombstoneWatermarkPath))
-      .get("manifestsBelow").asLong)
-    catch { case _: java.io.FileNotFoundException => None }
+    // ANY unreadable state (torn file on a non-atomic-rename fs, missing
+    // field, foreign content) degrades to the root-listing path — which
+    // self-heals: the next truncate rewrites the file. A throw here would
+    // fail every retention pass (and, wired into CdcPipeline's cadence,
+    // the streaming query itself) until someone hand-deletes the file.
+    else try Option(Json.parse(io.readString(tombstoneWatermarkPath))
+      .get("manifestsBelow")).map(_.asLong)
+    catch { case scala.util.control.NonFatal(_) => None }
 
   /** paths already named by a pending tombstone (so truncates don't re-name
     * the same unreaped garbage every pass); bounded by the grace window

@@ -364,6 +364,10 @@ final class LakeTable(
     // expensive relative to write throughput.
     val statsMode = sys.props.get("graft.merge.stats")
       .orElse(sys.env.get("GRAFT_MERGE_STATS")).getOrElse("agg")
+    // a typo must not silently select the non-default (measured-slower-for-
+    // the-common-shape) path
+    require(statsMode == "agg" || statsMode == "observe",
+      s"graft.merge.stats must be 'agg' or 'observe', got '$statsMode'")
     // agg mode fills statRows here; observe mode defers them to the write
     var aggStatRows: Seq[(Int, Long, Long, Long, Long)] = Nil
     val touched: Set[(Int, Int)] =
@@ -491,11 +495,28 @@ final class LakeTable(
       case None => aggStatRows
       case Some(o) =>
         val holder = new java.util.concurrent.atomic.AtomicReference[Map[String, Any]]
-        val waiter = new Thread(() => holder.set(o.get), "graft-merge-obs-wait")
+        val waiter = new Thread(() =>
+          try holder.set(o.get)
+          catch { case _: InterruptedException => () }, "graft-merge-obs-wait")
         waiter.setDaemon(true); waiter.start(); waiter.join(30000)
+        // on timeout, RELEASE the waiter (Observation.get blocks in wait(),
+        // which unblocks on interrupt) — otherwise every starved merge in a
+        // long-running stream leaks a permanently-parked thread. (The
+        // Observation's listener has no public unregister; one stale
+        // listener per starved merge remains — cheap next to a thread.)
+        if (waiter.isAlive) waiter.interrupt()
         Option(holder.get) match {
           case Some(m) =>
             touchedParts.map { p =>
+              // a null metric means partition p had rows in the touched
+              // pre-pass scan but NONE in the write's recompute of the same
+              // batch — a nondeterministic source. Writing 0s would quietly
+              // REGRESS p's watermark and re-admit already-merged offsets
+              // in later batches; same loud-failure contract as the staged
+              // rogue-bucket check below.
+              require(m(s"max_$p") != null, s"merge stats observation saw " +
+                s"no rows for touched partition $p — nondeterministic batch " +
+                "source (rows differed between the stats and write scans)")
               (p, m(s"max_$p").asInstanceOf[Long], m(s"min_$p").asInstanceOf[Long],
                 m(s"n_$p").asInstanceOf[Long], m(s"nup_$p").asInstanceOf[Long])
             }

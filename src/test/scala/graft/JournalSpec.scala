@@ -258,6 +258,22 @@ class JournalSpec extends AnyFunSuite {
       .select("partition", "offset", "content")
     val got = cold.read().select("partition", "offset", "content")
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // a CORRUPT watermark file (torn write on a non-atomic-rename fs, or
+    // foreign content) must degrade to the listing path and self-heal —
+    // never fail the retention pass (wired into CdcPipeline's cadence, a
+    // throw here would kill the streaming query every N batches)
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, ".tombstone-watermark.json.crc"))
+    java.nio.file.Files.writeString(wmPath, """{"manifests""")
+    j.append(slice(1350L, 1500L), 9L)
+    j.truncate(Map(0 -> 1049L, 1 -> 1049L), graceMs = 0L)
+    assert(Json.parse(java.nio.file.Files.readString(wmPath))
+      .get("manifestsBelow").asLong === ckptOf(j), "corrupt watermark healed")
+    val want2 = changes.filter(col("offset") >= 1050L)
+      .select("partition", "offset", "content")
+    val got2 = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
+      .read().select("partition", "offset", "content")
+    assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
   }
 
   test("legacy pending-delete.json migrates to append-only tombstone files") {

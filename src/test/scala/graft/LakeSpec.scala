@@ -44,10 +44,13 @@ class LakeSpec extends AnyFunSuite {
     // 3-column distinct pre-pass + Observation riding the write job) must be
     // indistinguishable from the default `agg` pre-pass in everything the
     // commit records — state rows, per-partition watermarks, lineage counts.
-    // Runs multi-batch through the pipeline so state-present merges (the
-    // session-delivery case the union order fixes) are exercised; a
-    // starvation would surface as this test taking 30s+/batch via the loud
-    // fallback.
+    // Runs multi-batch through the pipeline (state-present merges), then
+    // one merge whose BATCH rides a CLONED session against state from the
+    // constructor session — the streaming-foreachBatch delivery case the
+    // merge's union order exists for (Observation delivery is per-session).
+    // A regression of that order starves the observation; the 30s loud
+    // fallback keeps the result correct, so the wall-clock bound below is
+    // what actually pins the fix.
     val changes = ChangeGen.changes(spark, 2500, nKeys = 200, partitions = 4,
       deletePct = 15)
     def run(mode: String, tag: String) = {
@@ -69,6 +72,24 @@ class LakeSpec extends AnyFunSuite {
         "numEvents", "numUpserts", "numDeletes")
       .collect().map(_.toSeq).sortBy(_.toString)
     assert(lineage(obsLake).toSeq === lineage(aggLake).toSeq)
+
+    // cloned-session delivery: ChangeGen is a pure function of (seed, id),
+    // so the 3500-event log is a strict superset of the 2500 already merged
+    // — the suffix survives watermark dedup and merges against real state.
+    // LWW over (2500 ∪ 3500) == LWW over 3500, so `more` alone is the oracle.
+    // cloneSession is private[sql]; newSession() gives the same structure
+    // the delivery filter keys on — a second session with its own UUID
+    val clone = spark.newSession()
+    val more = ChangeGen.changes(clone, 3500, nKeys = 200, partitions = 4,
+      deletePct = 15)
+    System.setProperty("graft.merge.stats", "observe")
+    val t0 = System.nanoTime()
+    try obsLake.merge(more, 99L): Unit
+    finally System.clearProperty("graft.merge.stats"): Unit
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(sec < 25.0, s"cloned-session observation starved ($sec s — the " +
+      "30s fallback engaged; union order regressed?)")
+    assertMatchesOracle(obsLake, more)
   }
 
   test("multi-batch merge equals oracle; watermarks advance") {
