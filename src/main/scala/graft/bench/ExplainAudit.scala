@@ -16,7 +16,7 @@ object ExplainAudit {
 
   private val audited = Seq(
     "cdc_lww_state", "cdc_chunk_assign", "cdc_offset_skip",
-    "cdc_gz_archive_read",
+    "cdc_gz_archive_read", "cdc_gz_archive_remap",
     "ana_pricing_summary", "ana_region_revenue", "ana_top_customers",
     "ana_asof_join",
     "txt_minhash", "txt_lsh_pairs", "emb_cosine_topk", "emb_lsh_buckets",
