@@ -36,12 +36,16 @@ object Bench {
     // sink costs ~2× the bare kernel); a larger ratio means the window
     // degraded between probe and ingest, not that the code slowed.
     val scaleJson = {
-      val scaleEvents =
-        sys.env.get("SPARK_GRAFT_SCALE_EVENTS").map(_.toLong).getOrElse(4000000L)
-      val scaleCpus =
-        sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "8").toInt
-      if (scaleEvents <= 0) "null"
+      // env parses INSIDE the try (below): a malformed override must degrade
+      // to scale:null like any other scale-row failure, not crash the whole
+      // bench before a single artifact line is written
+      if (sys.env.get("SPARK_GRAFT_SCALE_EVENTS").contains("0")) "null"
       else try {
+        val scaleEvents =
+          sys.env.get("SPARK_GRAFT_SCALE_EVENTS").map(_.toLong).getOrElse(4000000L)
+        val scaleCpus =
+          sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "8").toInt
+        require(scaleEvents > 0, s"SPARK_GRAFT_SCALE_EVENTS=$scaleEvents")
         val pBefore = graft.bench.ScalingBench.probeOnce(scaleCpus, scaleEvents)
         // best of 2 (each a fresh JVM): this VM's run-to-run drift is up to
         // 2× (BENCH/BASELINE.md environment notes); both runs and their
@@ -56,13 +60,27 @@ object Bench {
         // contended grading window hits hardest; tmpfs stands in for a real
         // cluster's per-executor disks, so THIS pair shows the engine's
         // capacity class inside the graded artifact itself.
-        // SPARK_GRAFT_SCALE_TMPFS_EVENTS=0 disables.
-        val tmpfsEvents = sys.env.get("SPARK_GRAFT_SCALE_TMPFS_EVENTS")
-          .map(_.toLong).getOrElse(8000000L)
-        val tmpfsRuns = if (tmpfsEvents <= 0) Nil
+        // SPARK_GRAFT_SCALE_TMPFS_EVENTS=0 disables. Its own try: the
+        // durable runs above are already measured, and a tmpfs-only failure
+        // (/dev/shm too small for 8M events, say) must not discard them.
+        val tmpfsRuns = try {
+          val tmpfsEvents = sys.env.get("SPARK_GRAFT_SCALE_TMPFS_EVENTS")
+            .map(_.toLong).getOrElse(8000000L)
+          if (tmpfsEvents <= 0) Nil
           else (1 to 2).map(_ => graft.bench.ScalingBench.measureOnceRoot(
             scaleCpus, tmpfsEvents, 2, "/dev/shm")).toList
-        val pAfter = graft.bench.ScalingBench.probeOnce(scaleCpus, scaleEvents)
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] tmpfs companion failed: ${e.getMessage}")
+            Nil
+        }
+        // closing probe bracket — diagnostic only, so a failure here falls
+        // back to the opening probe rather than voiding the measured runs
+        val pAfter = try graft.bench.ScalingBench.probeOnce(scaleCpus, scaleEvents)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] closing probe failed: ${e.getMessage}")
+            pBefore
+          }
         val (dt, n) = runs.minBy(_._1)
         val spread = math.rint(100.0 * runs.map(_._1).max / runs.map(_._1).min) / 100
         val probeSec = math.min(pBefore._1, pAfter._1)
@@ -187,7 +205,10 @@ object Bench {
     // SPARK_GRAFT_LARGE_EVENTS=0 disables; default 4M ≈ 40× gate volume
     // (the 80× record at 8M is in BENCH/BASELINE.md).
     val largeJson = {
-      val n = sys.env.get("SPARK_GRAFT_LARGE_EVENTS").map(_.toLong).getOrElse(4000000L)
+      // same malformed-env hardening as the scale row: an unparseable
+      // override degrades to the default volume instead of killing the bench
+      val n = sys.env.get("SPARK_GRAFT_LARGE_EVENTS")
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(4000000L)
       if (n <= 0) "null"
       else Seq(0, 80).map { hot =>
         graft.bench.ScalingBench.launchJson("graft.bench.LargeScaleCheck",

@@ -43,6 +43,17 @@ final case class RetentionPolicy(
   require(everyNBatches >= 1, "retention cadence must be >= 1 batch")
 }
 
+object CdcPipeline {
+  /** Test seam: invoked at each retention-cadence hit, AFTER the batch's
+    * data commits and BEFORE any maintenance runs. Specs throw NonFatal to
+    * simulate a transient maintenance IO failure (caught — the stream
+    * survives) and InterruptedException to simulate a kill in the
+    * commit→maintenance window (propagates — restart must converge).
+    * Production never touches it.
+    */
+  @volatile private[graft] var maintenanceHook: Long => Unit = _ => ()
+}
+
 final class CdcPipeline(
     spark: SparkSession,
     journalRoot: String,
@@ -98,9 +109,27 @@ final class CdcPipeline(
     // cadence hit, and a replayed batch re-running it is an idempotent no-op
     retention.foreach { r =>
       if ((batchId + 1) % r.everyNBatches == 0) {
-        if (journalEnabled) journal.truncate(lake.watermarks(), r.journalGraceMs): Unit
-        if (r.vacuumKeepLast >= 1)
-          lake.vacuum(r.vacuumKeepLast, r.orphanGraceMs): Unit
+        // maintenance is DEFERRABLE by design (the whole retention model is
+        // "cleanup converges eventually"), so a transient IO failure inside
+        // it must not kill the stream the way a data-commit failure rightly
+        // does — log loudly and retry at the next cadence hit, the same
+        // degrade-not-die contract as the tombstone-watermark read
+        try {
+          // test seam (PipelineFailureSpec): runs after the batch's data
+          // commits and before any maintenance. Specs throw NonFatal here to
+          // simulate a transient maintenance IO failure (caught below, the
+          // stream survives) and a fatal InterruptedException to simulate
+          // the process dying in the commit→maintenance window (propagates,
+          // the query fails with the data durable and this cadence hit unrun)
+          CdcPipeline.maintenanceHook(batchId)
+          if (journalEnabled) journal.truncate(lake.watermarks(), r.journalGraceMs): Unit
+          if (r.vacuumKeepLast >= 1)
+            lake.vacuum(r.vacuumKeepLast, r.orphanGraceMs): Unit
+        } catch {
+          case scala.util.control.NonFatal(e) =>
+            System.err.println(s"[graft] WARN: retention maintenance failed " +
+              s"after batch $batchId (will retry at the next cadence hit): $e")
+        }
       }
     }
     if (timing) System.err.println(

@@ -130,6 +130,63 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
   }
 
+  test("kafka-shaped stream drives decode → pipeline in ONE query, through a checkpoint restart") {
+    // The reference's embedded-Kafka integration path
+    // (system_test/src/test/java/.../S3ConnectorIntegrationTest.java:173-212)
+    // minus the broker: a MemoryStream emits rows EXACTLY as format("kafka")
+    // would deliver them — (partition INT, offset LONG, value BINARY JSON
+    // document) — and one writeStream composes the real decode projection
+    // (KafkaChangeSource.decodeKafkaFrame) with CdcPipeline.applyBatch via
+    // the ChangeSource seam. Then the broker outlives the query: more
+    // records arrive, a second query resumes from the same checkpoint, and
+    // the lake must equal the oracle with zero duplicate journal rows.
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import graft.pipeline.KafkaChangeSource
+    import spark.implicits._
+    val ckpt = SparkTestSession.tempDir("kafckpt")
+    val jr = SparkTestSession.tempDir("kafj")
+    val lr = SparkTestSession.tempDir("kaflake")
+    val changes = ChangeGen.changes(spark, 1000, nKeys = 100, partitions = 4,
+      deletePct = 10)
+    val schema = changes.schema
+    val payloadCols = KafkaChangeSource.payloadSchema(schema).fieldNames.toSeq
+    // encode as the broker delivers: meta columns on the record, payload as
+    // a JSON document in `value` — per-partition offset order preserved
+    val frames = changes.select(col("partition"), col("offset"),
+        to_json(struct(payloadCols.map(col): _*)).cast("binary").as("value"))
+      .as[(Int, Long, Array[Byte])].collect().sortBy(t => (t._1, t._2))
+    val (early, late) = frames.partition(_._2 < 120)
+
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[(Int, Long, Array[Byte])]
+    val source = new graft.pipeline.ChangeSource {
+      def load(s: org.apache.spark.sql.SparkSession) =
+        KafkaChangeSource.decodeKafkaFrame(
+          ms.toDF().toDF("partition", "offset", "value"), schema)
+    }
+
+    ms.addData(early.toSeq)
+    val p1 = new CdcPipeline(spark, jr, lr, chunkBytes = 8192, subBuckets = 4)
+    p1.stream(source, ckpt).awaitTermination()
+    assert(p1.journal.read().count() === early.length.toLong,
+      "first query run must have ingested exactly the early records")
+
+    // more records reach the broker; a fresh query resumes mid-stream from
+    // the checkpoint (MemoryStream retains its backlog like the broker does)
+    ms.addData(late.toSeq)
+    val p2 = new CdcPipeline(spark, jr, lr, chunkBytes = 8192, subBuckets = 4)
+    p2.stream(source, ckpt).awaitTermination()
+
+    assert(p2.journal.read().count() === 1000L)
+    assert(p2.journal.read().groupBy("partition", "offset").count()
+      .filter(col("count") > 1).count() === 0L, "no duplicate journal rows")
+    val got = p2.lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(changes)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
   test("KafkaChangeSource is optional: clear failure without connector jars") {
     // the Kafka boundary compiles against spark-sql alone (format resolved
     // by name); in this sandbox the spark-sql-kafka connector jars are
