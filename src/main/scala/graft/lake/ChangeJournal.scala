@@ -33,10 +33,11 @@ final class ChangeJournal(
     spark: SparkSession,
     val chunkBytes: Long = 64L * 1024 * 1024,
     val appId: String = "graft",
-    val checkpointEvery: Int = 16) {
+    val checkpointEvery: Int = 16,
+    commitStore: CommitStore = RenameCommitStore) {
   require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
 
-  private val io = new TableIO(root, spark)
+  private val io = new TableIO(root, spark, commitStore)
 
   // ---- snapshot / manifest ---------------------------------------------
 
@@ -332,8 +333,15 @@ final class ChangeJournal(
       // listing could never hit) — past this bound the listing, bounded by
       // what actually exists, is the cheaper and safer source
       val maxDerivedRange = 4096L
+      // w > ckpt is INVALID state (journal dir restored from a backup while
+      // a newer tombstone-watermark.json survived): ckpt - w goes negative,
+      // which would satisfy the bound, derive an empty range, then rewrite
+      // the watermark to ckpt below — permanently leaking every pre-restore
+      // superseded manifest the listing would have reclaimed. An ahead
+      // watermark therefore falls through to the root listing, and the
+      // rewrite after it self-heals the watermark back to ckpt.
       val supersededManifests = tombstoneWatermark() match {
-        case Some(w) if ckpt - w <= maxDerivedRange =>
+        case Some(w) if w <= ckpt && ckpt - w <= maxDerivedRange =>
           (w until ckpt).map(v => f"manifest-$v%012d.json")
         case _ => io.fs.listStatus(io.rootPath).toSeq
           .map(_.getPath.getName)

@@ -49,11 +49,12 @@ final class LakeTable(
     val subBuckets: Int = 16,
     val appId: String = "graft",
     val checkpointEvery: Int = 16,
-    val shardGroupSize: Int = 64) {
+    val shardGroupSize: Int = 64,
+    commitStore: CommitStore = RenameCommitStore) {
   require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
   require(shardGroupSize >= 1, "shardGroupSize must be >= 1")
 
-  private val io = new TableIO(root, spark)
+  private val io = new TableIO(root, spark, commitStore)
 
   /** columns that are engine metadata, not user payload */
   private val metaCols = Seq("partition", "offset", "_sub")

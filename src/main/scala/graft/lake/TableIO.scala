@@ -23,7 +23,68 @@ object TableIO {
   @volatile private[graft] var faultHook: String => Unit = _ => ()
 }
 
-final class TableIO(val root: String, spark: SparkSession) {
+/** The atomic-publish primitive as a SEAM. Every durable mutation this
+  * engine's commit protocol performs reduces to two operations — publish a
+  * complete small object at a known name (snapshot/manifest/cursor swap) and
+  * publish a staged data file at its deterministic name — and WHICH
+  * filesystem mutation implements them atomically differs by store:
+  * rename-with-overwrite on HDFS/local (the default below), a whole-object
+  * overwrite PUT on S3 (the one mutation S3 does atomically — the
+  * reference's entire publish protocol is built on it,
+  * sink/.../S3Writer.java:142-153). Readers' contract is the seam's
+  * contract: at `dest` they must only ever observe the previous complete
+  * content or the new complete content, never absence-after-existence or a
+  * torn prefix.
+  *
+  * Implementations receive the owning [[TableIO]] for its FileSystem
+  * handles; they perform ONE logical publish per call and may throw — retry
+  * policy (bounded, jittered) stays in TableIO, store-agnostic.
+  */
+trait CommitStore {
+  /** Atomically materialize `content` at `dest`, overwriting any previous
+    * version.
+    */
+  def putAtomic(io: TableIO, dest: Path, content: String): Unit
+
+  /** Publish the staged file `src` at `dest`, overwriting. The staged
+    * source is consumed on success; on failure it may survive as
+    * unreferenced garbage for the staging sweep (never referenced by any
+    * manifest, so harmless — the reference's orphaned-upload story).
+    */
+  def publishFile(io: TableIO, src: Path, dest: Path): Unit
+}
+
+/** Default store: single rename-with-OVERWRITE, atomic on HDFS and local
+  * filesystems (a posix/HDFS rename either fully happens or doesn't).
+  */
+object RenameCommitStore extends CommitStore {
+  def putAtomic(io: TableIO, dest: Path, content: String): Unit = {
+    // The tmp name is unique per attempt: a FIXED tmp name would let two
+    // racing writers (a zombie and its fenced successor both commit here by
+    // design) interleave writes into one tmp file and rename a torn mix
+    // over the destination — the exact torn-read failure this method
+    // exists to prevent. A failed attempt best-effort reclaims its own tmp.
+    val tmp = new Path(dest.getParent, dest.getName +
+      s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+    try {
+      io.writeString(tmp, content)
+      io.renameOverwrite(tmp, dest)
+    } catch {
+      case t: Throwable =>
+        try io.fs.delete(tmp, false): Unit catch { case _: Throwable => () }
+        throw t
+    }
+  }
+
+  def publishFile(io: TableIO, src: Path, dest: Path): Unit = {
+    io.fs.delete(dest, false)
+    if (!io.fs.rename(src, dest))
+      throw new java.io.IOException(s"rename $src -> $dest failed")
+  }
+}
+
+final class TableIO(val root: String, spark: SparkSession,
+    store: CommitStore = RenameCommitStore) {
   private val conf = spark.sparkContext.hadoopConfiguration
   val rootPath = new Path(root)
   val fs: FileSystem = rootPath.getFileSystem(conf)
@@ -78,32 +139,25 @@ final class TableIO(val root: String, spark: SparkSession) {
 
   private lazy val fc = org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, conf)
 
-  /** Atomic write: tmp file + single rename-with-OVERWRITE — there is never
-    * a window with the destination missing or truncated. (The previous
+  /** Single rename-with-OVERWRITE (FileContext — FileSystem.rename has no
+    * overwrite flag). Exposed for [[RenameCommitStore]]; atomic on HDFS and
+    * local fs.
+    */
+  private[lake] def renameOverwrite(src: Path, dest: Path): Unit =
+    fc.rename(fs.makeQualified(src), fs.makeQualified(dest),
+      org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+
+  /** Atomic write via the [[CommitStore]] seam — there is never a window
+    * with the destination missing or truncated. (The previous
     * delete-then-rename had a crash window that left NO snapshot, silently
-    * resetting the table to "brand new" and orphaning all history.) On HDFS
-    * and local fs this rename is atomic; on S3A one would use a conditional
-    * PUT / catalog — the reader contract (only ever a complete file) is the
-    * same as the reference's cursor overwrite (S3Writer.java:142-153).
+    * resetting the table to "brand new" and orphaning all history.) The
+    * default store renames (atomic on HDFS/local); an object-store backend
+    * plugs in its own atomic publish (on S3, the whole-object overwrite PUT
+    * — the reference's cursor overwrite, S3Writer.java:142-153). The whole
+    * publish retries as a unit.
     */
   def writeAtomic(dest: Path, s: String): Unit = retry("writeAtomic") {
-    // The tmp name is unique per attempt: a FIXED tmp name would let two
-    // racing writers (a zombie and its fenced successor both commit here by
-    // design) interleave writes into one tmp file and rename a torn mix
-    // over the destination — the exact torn-read failure this method
-    // exists to prevent. The whole tmp-write + rename retries as a unit;
-    // a failed attempt best-effort reclaims its own tmp.
-    val tmp = new Path(dest.getParent, dest.getName +
-      s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
-    try {
-      writeString(tmp, s)
-      fc.rename(fs.makeQualified(tmp), fs.makeQualified(dest),
-        org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case t: Throwable =>
-        try fs.delete(tmp, false): Unit catch { case _: Throwable => () }
-        throw t
-    }
+    store.putAtomic(this, dest, s)
   }
 
   def swapSnapshot(json: String): Unit = writeAtomic(snapshotPath, json)
@@ -127,15 +181,14 @@ final class TableIO(val root: String, spark: SparkSession) {
   def promoteSingleFile(srcDir: Path, dest: Path): Unit = retry("promote") {
     val parts = fs.listStatus(srcDir).filter(_.getPath.getName.startsWith("part-"))
     if (parts.isEmpty && fs.exists(dest)) {
-      // a previous attempt's rename already won (failure happened after the
-      // move) — the retry is a no-op, the destination is complete
+      // a previous attempt's publish already consumed the staged file
+      // (failure happened after the move) — the retry is a no-op, the
+      // destination is complete
     } else {
       require(parts.length == 1,
         s"expected exactly one part file in $srcDir, got ${parts.length}")
       fs.mkdirs(dest.getParent)
-      fs.delete(dest, false)
-      if (!fs.rename(parts.head.getPath, dest))
-        throw new java.io.IOException(s"rename ${parts.head.getPath} -> $dest failed")
+      store.publishFile(this, parts.head.getPath, dest)
     }
   }
 

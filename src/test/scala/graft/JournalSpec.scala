@@ -274,6 +274,24 @@ class JournalSpec extends AnyFunSuite {
     val got2 = new ChangeJournal(root, spark, 100000, checkpointEvery = 2)
       .read().select("partition", "offset", "content")
     assert(got2.exceptAll(want2).isEmpty && want2.exceptAll(got2).isEmpty)
+    // an AHEAD watermark (journal dir restored from a backup while a newer
+    // tombstone-watermark.json survived) is INVALID state: the derived range
+    // [w, ckpt) would be empty and the rewrite below would heal the
+    // watermark without ever reclaiming pre-restore superseded manifests —
+    // a permanent leak. The guard sends w > ckpt to the listing fallback,
+    // which reclaims them, then the watermark self-heals to ckpt.
+    val stale = java.nio.file.Paths.get(root, "manifest-000000000003.json")
+    java.nio.file.Files.writeString(stale, """{"version":3}""")
+    java.nio.file.Files.deleteIfExists(
+      java.nio.file.Paths.get(root, ".tombstone-watermark.json.crc"))
+    java.nio.file.Files.writeString(wmPath,
+      s"""{"manifestsBelow":${ckptOf(j) + 1000}}""")
+    j.append(slice(1500L, 1650L), 10L)
+    j.truncate(Map(0 -> 1199L, 1 -> 1199L), graceMs = 0L)
+    assert(!java.nio.file.Files.exists(stale),
+      "ahead watermark must fall back to the listing and reclaim the leak")
+    assert(Json.parse(java.nio.file.Files.readString(wmPath))
+      .get("manifestsBelow").asLong === ckptOf(j), "ahead watermark healed")
   }
 
   test("legacy pending-delete.json migrates to append-only tombstone files") {

@@ -172,4 +172,94 @@ class ReliabilitySpec extends AnyFunSuite {
     lake.vacuum(keepLast = 1)
     assert(lake.lineage().collect().toSet === after)
   }
+
+  /** S3-semantics commit store: no atomic rename exists. `putAtomic` is a
+    * whole-object overwrite PUT (the one mutation S3 does atomically —
+    * readers see the old object or the new object, never a torn prefix;
+    * S3Writer.java:142-153 builds the reference's whole publish protocol on
+    * it), and `publishFile` is the non-atomic copy-then-delete that
+    * "rename" means on an object store. A crash can land BETWEEN the copy
+    * and the delete — injectable below — leaving the staged source as an
+    * orphan; the destination itself is still all-or-nothing because the
+    * copy creates a complete object or none.
+    */
+  private final class SimulatedObjectStore extends graft.lake.CommitStore {
+    val puts = new AtomicInteger(0)
+    val copies = new AtomicInteger(0)
+    @volatile var crashAfterCopy: Boolean = false
+
+    def putAtomic(io: TableIO, dest: Path, content: String): Unit = {
+      puts.incrementAndGet()
+      // local-fs stand-in for the atomic whole-object PUT (the simulation
+      // trusts S3's documented object-level atomicity; what it REMOVES is
+      // the rename primitive the default store depends on)
+      io.writeString(dest, content)
+    }
+
+    def publishFile(io: TableIO, src: Path, dest: Path): Unit = {
+      copies.incrementAndGet()
+      val in = io.fs.open(src)
+      val out = io.fs.create(dest, true)
+      try {
+        val buf = new Array[Byte](64 * 1024)
+        var n = in.read(buf)
+        while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      } finally { in.close(); out.close() }
+      if (crashAfterCopy)
+        throw new java.io.IOException("injected crash between copy and delete")
+      io.fs.delete(src, false): Unit
+    }
+  }
+
+  test("the full commit protocol runs on S3 semantics (no atomic rename)") {
+    // the seam's whole point: nothing in the journal+lake commit protocol
+    // may secretly depend on rename atomicity beyond CommitStore — swap in
+    // copy+delete / overwrite-PUT semantics and the pipeline must still be
+    // exactly-once with the lake equal to the oracle
+    val changes = ChangeGen.changes(spark, 800, nKeys = 80, partitions = 2,
+      deletePct = 10)
+    val store = new SimulatedObjectStore
+    val jr = SparkTestSession.tempDir("s3j")
+    val lr = SparkTestSession.tempDir("s3l")
+    val journal = new graft.lake.ChangeJournal(jr, spark, 4096, commitStore = store)
+    val lake = new LakeTable(lr, spark, subBuckets = 4, commitStore = store)
+    Seq(changes.filter(col("offset") < 120),
+        changes.filter(col("offset") >= 120)).zipWithIndex.foreach {
+      case (slice, b) =>
+        journal.append(slice, b.toLong)
+        lake.merge(slice, b.toLong): Unit
+    }
+    assert(store.puts.get() > 0 && store.copies.get() > 0,
+      "the simulated store must actually have carried the commits")
+    assert(journal.read().count() === 800L)
+    val got = lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(changes)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("S3 semantics: crash between copy and delete fails loudly, retry converges") {
+    val changes = ChangeGen.changes(spark, 400, nKeys = 50, partitions = 2)
+    val store = new SimulatedObjectStore
+    val lake = new LakeTable(SparkTestSession.tempDir("s3crash"), spark,
+      subBuckets = 2, commitStore = store)
+    store.crashAfterCopy = true
+    // LOUD failure (after the bounded retries), never a silent half-commit:
+    // the batch did not commit, the snapshot still points nowhere
+    intercept[java.io.IOException](lake.merge(changes, 0L))
+    assert(lake.lastBatchId === -1L, "a failed publish must not commit")
+    // the copy side of the crash left complete (never torn) destination
+    // objects plus orphaned staged sources — exactly the reference's
+    // crashed-upload garbage; the retried batch overwrites the same
+    // deterministic names and commits
+    store.crashAfterCopy = false
+    lake.merge(changes, 0L)
+    assert(lake.lastBatchId === 0L)
+    val got = lake.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val want = ChangeGen.oracleFinalState(changes)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
 }
