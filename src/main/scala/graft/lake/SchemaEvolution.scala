@@ -45,7 +45,23 @@ object SchemaEvolution {
     * duplicate that the next read rejects — or silently null the data).
     * True case conflicts within one schema fail fast.
     */
-  private def keyOf(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
+  private[lake] def keyOf(n: String): String = n.toLowerCase(java.util.Locale.ROOT)
+
+  /** Column keys SOFT-DROPPED from the ladder: ever present in some schema
+    * version but absent from the current one. Derivable from the ladder
+    * alone — schema versions only ever gain columns through [[merge]]
+    * (add/widen never removes), so any disappearance is an explicit
+    * [[graft.lake.LakeTable.dropColumn]]. Incoming batches that still carry
+    * a dropped column (a CDC tail usually keeps sending it) have it ignored
+    * rather than re-added — resurrecting it with old files' values would
+    * silently undo the drop.
+    */
+  def droppedKeys(ladder: Seq[StructType]): Set[String] = ladder.lastOption match {
+    case None => Set.empty
+    case Some(cur) =>
+      val live = cur.fieldNames.map(keyOf).toSet
+      ladder.iterator.flatMap(_.fieldNames).map(keyOf).toSet -- live
+  }
 
   private def requireNoCaseConflicts(s: StructType, what: String): Unit = {
     val dup = s.fieldNames.groupBy(keyOf).collect { case (_, ns) if ns.length > 1 => ns.toSeq }

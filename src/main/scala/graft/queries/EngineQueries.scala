@@ -133,6 +133,41 @@ object EngineQueries {
         col("content"), col("score"), col("lang"), md5(col("content")).as("content_md5"))
     },
 
+    // schema evolution INCLUDING soft column drop: add+widen (phases A/B as
+    // eng_schema_evolution), then dropColumn("score") between batches, then
+    // a phase C whose tail STILL SENDS the dropped column (the realistic
+    // CDC shape) plus a genuinely new column — merge must ignore the former
+    // and add the latter, reads must project score away while every row
+    // (old files included) stays readable
+    "eng_schema_drop" -> { (s, dir) =>
+      val root = workDir(s, "schdrop")
+      val c = CdcQueries.changes(s, dir)
+      val b = c.groupBy().agg(min(col("offset")).as("lo"), max(col("offset")).as("hi"))
+        .collect()(0)
+      val (lo, hi) = (b.getLong(0), b.getLong(1))
+      val (t1, t2) = (lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3)
+      val base = c.select("partition", "offset", "op", "repo", "path", "content")
+      val phaseA = base.filter(col("offset") <= t1)
+        .withColumn("score", pmod(col("offset"), lit(100L)).cast("int"))
+      val phaseB = base.filter(col("offset") > t1 && col("offset") <= t2)
+        .withColumn("score", col("offset") * 1000L)
+        .withColumn("lang", concat(lit("l"), pmod(col("offset"), lit(5L)).cast("string")))
+      val phaseC = base.filter(col("offset") > t2)
+        .withColumn("score", col("offset") * 7L) // still sent; must stay dropped
+        .withColumn("lang", concat(lit("l"), pmod(col("offset"), lit(5L)).cast("string")))
+        .withColumn("note", concat(lit("n"), pmod(col("offset"), lit(3L)).cast("string")))
+      val p = new CdcPipeline(s, s"$root/journal", s"$root/lake",
+        chunkBytes = 8192, subBuckets = 8, journalEnabled = false)
+      p.applyBatch(phaseA, 0L)
+      p.applyBatch(phaseB, 1L)
+      p.lake.dropColumn("score")
+      p.applyBatch(phaseC, 2L)
+      require(!p.lake.currentSchema.get.fieldNames.contains("score"),
+        "dropped column must not re-enter the schema from the tail")
+      p.lake.read().select(col("repo"), col("path"), col("offset").as("last_offset"),
+        col("content"), col("lang"), col("note"), md5(col("content")).as("content_md5"))
+    },
+
     // the actual Structured Streaming path: change log shipped as ordered
     // slice files, tailed by the file source (AvailableNow), ingested via
     // checkpointed foreachBatch — final lake state vs the DuckDB LWW oracle
@@ -331,6 +366,21 @@ object EngineQueries {
         |       CASE WHEN last_offset > b.mid THEN 'l' || CAST(last_offset % 5 AS VARCHAR) END AS lang,
         |       md5(content) AS content_md5
         |FROM lww, b WHERE rn = 1 AND op = 'upsert'""".stripMargin),
+
+    "eng_schema_drop" -> (CdcQueries.duckChanges +
+      """, t AS (SELECT min("offset") + (max("offset") - min("offset")) // 3 AS t1,
+        |            min("offset") + 2 * (max("offset") - min("offset")) // 3 AS t2
+        |     FROM changes),
+        |lww AS (
+        |  SELECT repo, path, "offset" AS last_offset, content, op,
+        |         row_number() OVER (PARTITION BY repo, path ORDER BY "offset" DESC) AS rn
+        |  FROM changes
+        |)
+        |SELECT repo, path, last_offset, content,
+        |       CASE WHEN last_offset > t.t1 THEN 'l' || CAST(last_offset % 5 AS VARCHAR) END AS lang,
+        |       CASE WHEN last_offset > t.t2 THEN 'n' || CAST(last_offset % 3 AS VARCHAR) END AS note,
+        |       md5(content) AS content_md5
+        |FROM lww, t WHERE rn = 1 AND op = 'upsert'""".stripMargin),
 
     // archive offsets are row_number-1 per partition in event-offset order
     // (what writeArchive assigns); LWW by archive offset picks the same

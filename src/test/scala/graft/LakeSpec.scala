@@ -92,6 +92,48 @@ class LakeSpec extends AnyFunSuite {
     assertMatchesOracle(obsLake, more)
   }
 
+  test("observe stats plumbing leaves zero residue, bounded listeners, even starved") {
+    // the r5 "what's wrong #1" closed: Observation leaked one unregisterable
+    // listener per starved observation; MergeStats keeps ONE routing
+    // listener per session and removes the per-observation handoff on every
+    // exit path — N starved waits leave zero residue
+    import graft.lake.MergeStats
+    val pendingBefore = MergeStats.pendingCount
+    MergeStats.expect(spark, "starved-probe")
+    val listeners = MergeStats.listenerCount
+    assert(MergeStats.await("starved-probe", 1) === None)
+    (1 to 20).foreach { i =>
+      MergeStats.expect(spark, s"starved-$i")
+      assert(MergeStats.await(s"starved-$i", 1) === None, "must starve")
+      assert(MergeStats.listenerCount === listeners,
+        "starved observations must not grow the listener set")
+    }
+    assert(MergeStats.pendingCount === pendingBefore, "zero handoff residue")
+
+    // the delivered path routes by name and cleans up the same way
+    MergeStats.expect(spark, "delivered-1")
+    spark.range(10).observe("delivered-1", count(lit(1)).as("n")).collect(): Unit
+    val row = MergeStats.await("delivered-1", 30000)
+    assert(row.exists(_.getAs[Long]("n") === 10L), s"metrics must deliver: $row")
+    assert(MergeStats.pendingCount === pendingBefore)
+    assert(MergeStats.listenerCount === listeners)
+
+    // a failed OBSERVED MERGE (write throws before the await) must discard
+    // its declared interest too — the real engine path, not just plumbing
+    System.setProperty("graft.merge.stats", "observe")
+    try {
+      val lake = new LakeTable(SparkTestSession.tempDir("obsfail"), spark,
+        subBuckets = 2)
+      val bad = ChangeGen.changes(spark, 100, nKeys = 20, partitions = 2)
+        .withColumn("content", // evaluation-time failure inside the write job
+          when(col("offset") >= 0, raise_error(lit("injected write failure")))
+            .otherwise(col("content")))
+      intercept[Throwable](lake.merge(bad, 0L))
+      assert(MergeStats.pendingCount === pendingBefore,
+        "a failed observed write must not strand its handoff")
+    } finally System.clearProperty("graft.merge.stats"): Unit
+  }
+
   test("multi-batch merge equals oracle; watermarks advance") {
     val changes = ChangeGen.changes(spark, 3000, nKeys = 200, partitions = 4,
       deletePct = 20)
@@ -361,6 +403,39 @@ class LakeSpec extends AnyFunSuite {
     // values survived the widen
     val sample = rows.filter(col("offset") >= 100).limit(1).collect()(0)
     assert(sample.getAs[Long]("stars") === sample.getAs[Long]("offset") * 1000000L)
+
+    // ---- soft drop extends the ladder: no file rewrite, reads project the
+    // column away, history keeps it, and the tail's still-sent column stays
+    // dropped -------------------------------------------------------------
+    val preDropVersion = lake.currentVersion
+    val filesBefore = new java.io.File(lake.root, "data").listFiles().map(_.getName).toSet
+    lake.dropColumn("stars")
+    assert(!lake.currentSchema.get.fieldNames.contains("stars"))
+    assert(new java.io.File(lake.root, "data").listFiles().map(_.getName).toSet
+      === filesBefore, "a soft drop must rewrite no data file")
+    assert(!lake.read().columns.contains("stars"),
+      "reads must no longer project the dropped column")
+    assert(lake.read().count() === rows.count(), "all rows stay readable")
+    // time travel to the pre-drop snapshot still shows the column's values
+    val old = lake.readVersion(preDropVersion)
+    assert(old.columns.contains("stars") &&
+      old.filter(col("stars").isNotNull).count() > 0)
+    // the CDC tail keeps sending the dropped column: merge must IGNORE it,
+    // not resurrect it (while still applying the batch's other columns)
+    val b2 = base.filter(col("offset") < 50)
+      .withColumn("offset", col("offset") + 10000L) // past the watermarks
+      .withColumn("stars", col("offset") * 7L)
+      .withColumn("license", lit("mit"))
+    lake.merge(b2, 2L)
+    assert(!lake.currentSchema.get.fieldNames.contains("stars"),
+      "a still-sent dropped column must not re-enter the schema")
+    assert(!lake.read().columns.contains("stars"))
+    assert(lake.read().filter(col("license") === "mit").count() > 0,
+      "the batch's surviving columns must still apply")
+
+    // guard rails: merge identity and unknown columns refuse to drop
+    intercept[IllegalArgumentException](lake.dropColumn("repo"))
+    intercept[IllegalArgumentException](lake.dropColumn("no_such_column"))
   }
 
   test("incompatible schema change fails fast") {
