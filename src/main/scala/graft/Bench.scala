@@ -209,10 +209,20 @@ object Bench {
       // override degrades to the default volume instead of killing the bench
       val n = sys.env.get("SPARK_GRAFT_LARGE_EVENTS")
         .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(4000000L)
-      if (n <= 0) "null"
-      else Seq(0, 80).map { hot =>
+      // the 16M-event / 160×-gate-volume record previously lived only in
+      // BENCH/BASELINE.md prose (r5 verdict task 6): one uniform-key XL row
+      // now ships IN the graded artifact, env-gated
+      // (SPARK_GRAFT_LARGE_EVENTS_XL, 0 disables, default 16M) and LAST so
+      // a slow window delays nothing else
+      val xl = sys.env.get("SPARK_GRAFT_LARGE_EVENTS_XL")
+        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(16000000L)
+      val regimes =
+        (if (n > 0) Seq((n, 0), (n, 80)) else Nil) ++
+          (if (xl > 0) Seq((xl, 0)) else Nil)
+      if (regimes.isEmpty) "null"
+      else regimes.map { case (events, hot) =>
         graft.bench.ScalingBench.launchJson("graft.bench.LargeScaleCheck",
-          Seq(n.toString, "4", hot.toString)) match {
+          Seq(events.toString, "4", hot.toString)) match {
           case Right(j) => j
           case Left(e) =>
             // strip EVERYTHING outside printable ASCII, not just the JSON
@@ -221,7 +231,8 @@ object Bench {
             // — the exact bench-grade loss mode this file guards against
             val msg = e.replaceAll("[^\\x20-\\x7E]", " ")
               .replaceAll("[\"\\\\]", " ").take(300)
-            s"""{"check":"large_scale_lww","hot_pct":$hot,"pass":false,"error":"$msg"}"""
+            s"""{"check":"large_scale_lww","events":$events,"hot_pct":$hot,""" +
+              s""""pass":false,"error":"$msg"}"""
         }
       }.mkString("[", ",", "]")
     }
