@@ -588,6 +588,62 @@ object GzArchive {
   private def gzipMagic(buf: Array[Byte]): Boolean =
     buf.length >= 2 && (buf(0) & 0xff) == 0x1f && (buf(1) & 0xff) == 0x8b
 
+  /** Pluggable chunk decode — the reference reader's input-filter seam
+    * (source/.../S3FilesReader.java:333-337: the reader takes an
+    * `InputFilter` with GUNZIP merely the default). [[GunzipFilter]] is
+    * this engine's default (the archive WRITER is Block-GZIP like the
+    * reference sink's, so gzip is what this engine produces);
+    * [[IdentityFilter]] reads uncompressed archives written by other tools
+    * against the same index/cursor protocol; any FQCN implementing the
+    * trait loads via props key `input.filter` ([[inputFilter]]), mirroring
+    * the format registry's reflective contract. Implementations run inside
+    * executor tasks — they must be Serializable and stateless.
+    */
+  trait InputFilter extends Serializable {
+    /** strict decode of one indexed chunk's raw byte range */
+    def decode(chunk: Array[Byte]): Array[Byte]
+    /** tolerant variant for ranged HEADER reads, which on reference-written
+      * gzip files may end on a bare member boundary (the off-by-10 case);
+      * encodings without that failure shape keep the strict default
+      */
+    def decodeTolerant(chunk: Array[Byte]): Array[Byte] = decode(chunk)
+    /** does `chunk` begin a frame of this encoding? Drives the
+      * reference-off-by-10 index-offset correction probe; encodings without
+      * a frame marker return true (no probe possible, none needed).
+      */
+    def framed(chunk: Array[Byte]): Boolean = true
+  }
+
+  /** default: the Block-GZIP decode (multi-member tolerant-header gzip) */
+  object GunzipFilter extends InputFilter {
+    def decode(chunk: Array[Byte]): Array[Byte] = gunzipStrict(chunk)
+    override def decodeTolerant(chunk: Array[Byte]): Array[Byte] =
+      gunzipTolerant(chunk)
+    override def framed(chunk: Array[Byte]): Boolean = gzipMagic(chunk)
+  }
+
+  /** uncompressed archives: index byte ranges ARE the record bytes */
+  object IdentityFilter extends InputFilter {
+    def decode(chunk: Array[Byte]): Array[Byte] = chunk
+  }
+
+  /** Config-driven filter resolution (`input.filter` = `gzip` | `none` |
+    * FQCN implementing [[InputFilter]]); absent = gzip, the reference's
+    * default-GUNZIP contract.
+    */
+  def inputFilter(props: Map[String, String]): InputFilter =
+    props.get("input.filter") match {
+      case None | Some("gzip") => GunzipFilter
+      case Some("none") | Some("identity") => IdentityFilter
+      case Some(fqcn) =>
+        Class.forName(fqcn).getDeclaredConstructor().newInstance() match {
+          case f: InputFilter => f
+          case _ => throw new IllegalArgumentException(
+            s"input.filter class $fqcn does not implement " +
+              s"${classOf[InputFilter].getName}")
+        }
+    }
+
   /** Decompress a (possibly multi-member) gzip byte range, tolerating ONLY
     * a bare trailing member START: a reference-written header file's
     * recorded header region is 10 bytes too long (the off-by-10 documented
@@ -642,17 +698,20 @@ object GzArchive {
     * correct. A range that does not start with the gzip magic is re-read
     * 10 bytes earlier and re-checked.
     */
-  private def chunkBytes(fs: FileSystem, file: String, off: Long, len: Long): Array[Byte] = {
+  private def chunkBytes(fs: FileSystem, file: String, off: Long, len: Long,
+      filter: InputFilter = GunzipFilter): Array[Byte] = {
     var buf = rangedRead(fs, file, off, len)
-    if (!gzipMagic(buf) && off >= 10)
+    if (!filter.framed(buf) && off >= 10)
       buf = rangedRead(fs, file, off - 10, len + 10)
-    require(gzipMagic(buf) || buf.isEmpty,
-      s"chunk $file@$off does not start a gzip member (corrupt index or data)")
+    require(filter.framed(buf) || buf.isEmpty,
+      s"chunk $file@$off does not start a member frame of the configured " +
+        "input filter (corrupt index or data)")
     buf
   }
 
   private def readTasks(spark: SparkSession, tasks: Seq[ChunkTask],
-      withHeader: Boolean = false): DataFrame = {
+      withHeader: Boolean = false,
+      filter: InputFilter = GunzipFilter): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
@@ -669,13 +728,14 @@ object GzArchive {
         it.flatMap { t =>
           if (fs == null)
             fs = new Path(t.file).getFileSystem(conf.value.value)
-          val buf = chunkBytes(fs, t.file, t.byteOffset, t.byteLength)
+          val buf = chunkBytes(fs, t.file, t.byteOffset, t.byteLength, filter)
           val header =
             if (!withHeader || t.headerLen == 0) ""
-            else headerCache.getOrElseUpdate(t.file, new String(gunzipTolerant(
-              rangedRead(fs, t.file, 0L, t.headerLen)), "UTF-8"))
+            else headerCache.getOrElseUpdate(t.file, new String(
+              filter.decodeTolerant(rangedRead(fs, t.file, 0L, t.headerLen)),
+              "UTF-8"))
           val r = new BufferedReader(new InputStreamReader(
-            new GZIPInputStream(new ByteArrayInputStream(buf)), "UTF-8"))
+            new ByteArrayInputStream(filter.decode(buf)), "UTF-8"))
           val out = scala.collection.mutable.ArrayBuffer.empty[GzRecordH]
           // Lines past num_records in the file's LAST chunk are FORMAT
           // TRAILER bytes, not records: the reference writes `format.finish`
@@ -711,16 +771,18 @@ object GzArchive {
   }
 
   /** full archive scan (still chunk-parallel) */
-  def read(spark: SparkSession, root: String): DataFrame =
-    readTasks(spark, listTasks(spark, root))
+  def read(spark: SparkSession, root: String,
+      filter: InputFilter = GunzipFilter): DataFrame =
+    readTasks(spark, listTasks(spark, root), withHeader = false, filter)
 
   /** like [[read]], plus each record carries its file's decoded format
     * header (empty when the file has none) — the distributed analogue of
     * the reference's header replay for init-required formats
     * (S3FilesReader.java:236-243).
     */
-  def readWithHeader(spark: SparkSession, root: String): DataFrame =
-    readTasks(spark, listTasks(spark, root), withHeader = true)
+  def readWithHeader(spark: SparkSession, root: String,
+      filter: InputFilter = GunzipFilter): DataFrame =
+    readTasks(spark, listTasks(spark, root), withHeader = true, filter)
 
   final case class FileMetaTask( // public: Dataset encoder codegen needs access
       file: String, topic: String, partition: Int, firstRecordOffset: Long,
@@ -733,7 +795,8 @@ object GzArchive {
     * where a trailer lives even when it rolled into its own zero-record
     * trailing chunk, which per-record reads can never surface.
     */
-  def fileMeta(spark: SparkSession, root: String): DataFrame = {
+  def fileMeta(spark: SparkSession, root: String,
+      filter: InputFilter = GunzipFilter): DataFrame = {
     import spark.implicits._
     val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val metas = graft.lake.MetaIO.fetchAll(listIndexFiles(fs, new Path(root))) { f =>
@@ -752,11 +815,12 @@ object GzArchive {
         if (fsx == null) fsx = new Path(m.file).getFileSystem(conf.value.value)
         val header =
           if (m.headerLen == 0) ""
-          else new String(gunzipTolerant(
+          else new String(filter.decodeTolerant(
             rangedRead(fsx, m.file, 0L, m.headerLen)), "UTF-8")
         val r = new BufferedReader(new InputStreamReader(
-          new GZIPInputStream(new ByteArrayInputStream(
-            chunkBytes(fsx, m.file, m.lastByteOffset, m.lastByteLength))), "UTF-8"))
+          new ByteArrayInputStream(filter.decode(
+            chunkBytes(fsx, m.file, m.lastByteOffset, m.lastByteLength, filter))),
+          "UTF-8"))
         val trailer = new StringBuilder
         var i = 0L
         var line = r.readLine()
@@ -776,7 +840,8 @@ object GzArchive {
     * — the ranged-GET skip, S3FilesReader.java:215-261); only the boundary
     * chunk filters records below the floor after decode.
     */
-  def readFrom(spark: SparkSession, root: String, committed: Map[Int, Long]): DataFrame = {
+  def readFrom(spark: SparkSession, root: String, committed: Map[Int, Long],
+      filter: InputFilter = GunzipFilter): DataFrame = {
     val tasks = listTasks(spark, root).flatMap { t =>
       committed.get(t.partition) match {
         case None => Some(t)
@@ -785,7 +850,7 @@ object GzArchive {
         case _ => None // chunk entirely at or below the committed offset
       }
     }
-    readTasks(spark, tasks)
+    readTasks(spark, tasks, withHeader = false, filter)
   }
 
   /** [[readFrom]] keyed by (topic, partition) — the resume shape of a
@@ -796,7 +861,8 @@ object GzArchive {
     * filtering the result on `topic` (records carry it).
     */
   def readFromTopics(spark: SparkSession, root: String,
-      committed: Map[(String, Int), Long]): DataFrame = {
+      committed: Map[(String, Int), Long],
+      filter: InputFilter = GunzipFilter): DataFrame = {
     val tasks = listTasks(spark, root).flatMap { t =>
       committed.get((t.topic, t.partition)) match {
         case None => Some(t)
@@ -805,7 +871,7 @@ object GzArchive {
         case _ => None
       }
     }
-    readTasks(spark, tasks)
+    readTasks(spark, tasks, withHeader = false, filter)
   }
 
   final case class GzBinRecord(topic: String, partition: Int, offset: Long,
@@ -822,7 +888,7 @@ object GzArchive {
   }
 
   private def readBinaryTasks(spark: SparkSession, tasks: Seq[ChunkTask],
-      includeKeys: Boolean): DataFrame = {
+      includeKeys: Boolean, filter: InputFilter = GunzipFilter): DataFrame = {
     import spark.implicits._
     val conf = spark.sparkContext.broadcast(
       new SerializableHadoopConf(spark.sparkContext.hadoopConfiguration))
@@ -832,7 +898,8 @@ object GzArchive {
       val fmt = new graft.functions.RecordFormats.ByteLengthFormat(includeKeys)
       it.flatMap { t =>
         if (fs == null) fs = new Path(t.file).getFileSystem(conf.value.value)
-        val data = gunzipStrict(chunkBytes(fs, t.file, t.byteOffset, t.byteLength))
+        val data = filter.decode(
+          chunkBytes(fs, t.file, t.byteOffset, t.byteLength, filter))
         // bounded decode: bytes past num_records in the LAST chunk are
         // format trailer (same rule as the text read); anywhere else, or a
         // short decode, is loud corruption
@@ -857,12 +924,14 @@ object GzArchive {
     * chunk-parallel like [[read]]
     */
   def readBinary(spark: SparkSession, root: String,
-      includeKeys: Boolean = true): DataFrame =
-    readBinaryTasks(spark, listTasks(spark, root), includeKeys)
+      includeKeys: Boolean = true,
+      filter: InputFilter = GunzipFilter): DataFrame =
+    readBinaryTasks(spark, listTasks(spark, root), includeKeys, filter)
 
   /** [[readFrom]] for binary archives: index-pruned ranged resume */
   def readBinaryFrom(spark: SparkSession, root: String, committed: Map[Int, Long],
-      includeKeys: Boolean = true): DataFrame = {
+      includeKeys: Boolean = true,
+      filter: InputFilter = GunzipFilter): DataFrame = {
     val tasks = listTasks(spark, root).flatMap { t =>
       committed.get(t.partition) match {
         case None => Some(t)
@@ -871,7 +940,7 @@ object GzArchive {
         case _ => None
       }
     }
-    readBinaryTasks(spark, tasks, includeKeys)
+    readBinaryTasks(spark, tasks, includeKeys, filter)
   }
 
   /** Cursor-derived per-partition NEXT offsets — the port of
@@ -924,8 +993,9 @@ object GzArchive {
     * story (S3Writer.java:61-81; SURVEY.md §1.3). Partitions with no cursor
     * contribute nothing.
     */
-  def readCommitted(spark: SparkSession, root: String, topic: String): DataFrame =
-    readCommittedTopics(spark, root, Set(topic))
+  def readCommitted(spark: SparkSession, root: String, topic: String,
+      filter: InputFilter = GunzipFilter): DataFrame =
+    readCommittedTopics(spark, root, Set(topic), filter)
 
   /** [[readCommitted]] over a topic SET (empty = every topic in the bucket):
     * the records of every cursor-acknowledged file whose topic is in the
@@ -935,7 +1005,8 @@ object GzArchive {
     * index fetches — never nested).
     */
   def readCommittedTopics(spark: SparkSession, root: String,
-      topics: Set[String] = Set.empty): DataFrame = {
+      topics: Set[String] = Set.empty,
+      filter: InputFilter = GunzipFilter): DataFrame = {
     val rootPath = new Path(root)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val ackFirstOffset: Map[(String, Int), Long] =
@@ -949,7 +1020,7 @@ object GzArchive {
       }.flatten.toMap
     val acked = listIndexFiles(fs, rootPath)
       .filter(f => ackFirstOffset.get((f.topic, f.partition)).exists(f.firstOffset <= _))
-    readTasks(spark, fetchTasks(fs, root, acked))
+    readTasks(spark, fetchTasks(fs, root, acked), withHeader = false, filter)
   }
 
   /** The reference source's per-topic OUTPUT remap, config shape
@@ -990,7 +1061,8 @@ object GzArchive {
     */
   def readCommittedTopics(spark: SparkSession, root: String,
       topics: Set[String], props: Map[String, String]): DataFrame =
-    remapTopics(readCommittedTopics(spark, root, topics), topicRemap(props))
+    remapTopics(readCommittedTopics(spark, root, topics, inputFilter(props)),
+      topicRemap(props))
 
   /** [[readFromTopics]] with the config-driven remap. `committed` floors
     * key on ORIGINAL (topic, partition) — resume state tracks the bucket's
@@ -999,7 +1071,8 @@ object GzArchive {
   def readFromTopics(spark: SparkSession, root: String,
       committed: Map[(String, Int), Long],
       props: Map[String, String]): DataFrame =
-    remapTopics(readFromTopics(spark, root, committed), topicRemap(props))
+    remapTopics(readFromTopics(spark, root, committed, inputFilter(props)),
+      topicRemap(props))
 
   private def readSmall(fs: FileSystem, p: Path): String = {
     val len = fs.getFileStatus(p).getLen

@@ -635,4 +635,54 @@ class GzArchiveSpec extends AnyFunSuite {
       assert(seen === Set("carried"))
     } finally spark.sparkContext.hadoopConfiguration.unset("graft.test.key")
   }
+
+  test("input filter seam: identity archive reads via the same index/cursor protocol") {
+    // the reference reader's InputFilter (S3FilesReader.java:333-337, GUNZIP
+    // merely the default): an UNCOMPRESSED archive written by another tool
+    // under the same index/cursor protocol reads through the identical
+    // chunk-parallel machinery with IdentityFilter — and the gzip default
+    // rejects its non-gzip bytes loudly, never as garbage records
+    import java.nio.file.{Files, Paths}
+    import graft.sources.GzArchive.{Chunk, Index, IdentityFilter}
+    val root = SparkTestSession.tempDir("gzident")
+    val topic = "plain"
+    val chunk0 = "r0\nr1\nr2\n".getBytes("UTF-8")
+    val chunk1 = "r3\nr4\n".getBytes("UTF-8")
+    val baseName = f"$topic-${0}%05d-${0L}%012d"
+    Files.write(Paths.get(root, s"$baseName.gz"), chunk0 ++ chunk1): Unit
+    val idx = Index(Seq(
+      Chunk(0L, 3L, 0L, chunk0.length.toLong, chunk0.length.toLong),
+      Chunk(3L, 2L, chunk0.length.toLong, chunk1.length.toLong, chunk1.length.toLong)))
+    Files.writeString(Paths.get(root, s"$baseName.index.json"),
+      GzArchive.indexJson(idx)): Unit
+    Files.writeString(Paths.get(root, GzArchive.cursorFileName(topic, 0)),
+      s"$baseName.index.json"): Unit
+
+    val got = GzArchive.read(spark, root, IdentityFilter)
+      .orderBy("offset").collect()
+      .map(r => (r.getAs[Long]("offset"), r.getAs[String]("value")))
+    assert(got.toSeq === Seq(0L -> "r0", 1L -> "r1", 2L -> "r2",
+      3L -> "r3", 4L -> "r4"))
+
+    // ranged resume prunes whole chunks from the index alone, same as gzip
+    val resumed = GzArchive.readFrom(spark, root, Map(0 -> 2L), IdentityFilter)
+      .orderBy("offset").collect().map(_.getAs[Long]("offset"))
+    assert(resumed.toSeq === Seq(3L, 4L))
+
+    // the metadata layer (cursor → index → next offset) is filter-agnostic
+    assert(GzArchive.fetchOffsets(spark, root, topic) === Map(0 -> 5L))
+    assert(GzArchive.readCommitted(spark, root, topic, IdentityFilter)
+      .count() === 5L)
+
+    // config-driven resolution, the reference's props shape
+    assert(GzArchive.readCommittedTopics(spark, root, Set(topic),
+      Map("input.filter" -> "none")).count() === 5L)
+    val e = intercept[IllegalArgumentException](
+      GzArchive.inputFilter(Map("input.filter" -> "java.lang.String")))
+    assert(e.getMessage.contains("does not implement"))
+
+    // default gzip filter on non-gzip bytes: loud frame rejection
+    val loud = intercept[Throwable](GzArchive.read(spark, root).collect())
+    assert(loud.getMessage != null)
+  }
 }
