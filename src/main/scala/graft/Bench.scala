@@ -36,16 +36,18 @@ object Bench {
     // sink costs ~2× the bare kernel); a larger ratio means the window
     // degraded between probe and ingest, not that the code slowed.
     val scaleJson = {
-      // env parses INSIDE the try (below): a malformed override must degrade
-      // to scale:null like any other scale-row failure, not crash the whole
-      // bench before a single artifact line is written
-      if (sys.env.get("SPARK_GRAFT_SCALE_EVENTS").contains("0")) "null"
+      // disable = any PARSEABLE value <= 0 (the original contract: "0",
+      // "-1", "00" all silently skip); a MALFORMED value instead degrades
+      // to scale:null inside the try like any other scale-row failure —
+      // either way the bench never crashes before the artifact line
+      val scaleDisabled = sys.env.get("SPARK_GRAFT_SCALE_EVENTS")
+        .flatMap(s => scala.util.Try(s.toLong).toOption).exists(_ <= 0)
+      if (scaleDisabled) "null"
       else try {
         val scaleEvents =
           sys.env.get("SPARK_GRAFT_SCALE_EVENTS").map(_.toLong).getOrElse(4000000L)
         val scaleCpus =
           sys.env.getOrElse("SPARK_GRAFT_SCALE_CPUS", "8").toInt
-        require(scaleEvents > 0, s"SPARK_GRAFT_SCALE_EVENTS=$scaleEvents")
         val pBefore = graft.bench.ScalingBench.probeOnce(scaleCpus, scaleEvents)
         // best of 2 (each a fresh JVM): this VM's run-to-run drift is up to
         // 2× (BENCH/BASELINE.md environment notes); both runs and their
@@ -213,9 +215,12 @@ object Bench {
       // BENCH/BASELINE.md prose (r5 verdict task 6): one uniform-key XL row
       // now ships IN the graded artifact, env-gated
       // (SPARK_GRAFT_LARGE_EVENTS_XL, 0 disables, default 16M) and LAST so
-      // a slow window delays nothing else
+      // a slow window delays nothing else. SPARK_GRAFT_LARGE_EVENTS<=0
+      // keeps its original meaning — disable the WHOLE large check — so the
+      // XL default follows n; an explicit XL env value always wins.
       val xl = sys.env.get("SPARK_GRAFT_LARGE_EVENTS_XL")
-        .flatMap(s => scala.util.Try(s.toLong).toOption).getOrElse(16000000L)
+        .flatMap(s => scala.util.Try(s.toLong).toOption)
+        .getOrElse(if (n > 0) 16000000L else 0L)
       val regimes =
         (if (n > 0) Seq((n, 0), (n, 80)) else Nil) ++
           (if (xl > 0) Seq((xl, 0)) else Nil)

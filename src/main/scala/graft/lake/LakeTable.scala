@@ -445,66 +445,70 @@ final class LakeTable(
     val obs =
       if (statsMode == "agg") None
       else Some(s"merge-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
-    val newShaped = obs.fold(shape(withSub)) { name =>
-      val statExprs = touchedParts.flatMap { p =>
-        val in = col("partition") === p
-        Seq(max(when(in, col("offset"))).as(s"max_$p"),
-          min(when(in, col("offset"))).as(s"min_$p"),
-          sum(when(in, 1L).otherwise(0L)).as(s"n_$p"),
-          sum(when(in && col("op") === "upsert", 1L).otherwise(0L)).as(s"nup_$p"))
-      }
-      val framed = shape(withSub)
-      // NAMED observe + MergeStats' one shared per-session listener, not an
-      // `Observation`: Observation's internal listener has no public
-      // unregister, so every starved observation leaked one permanently —
-      // MergeStats removes its handoff on every exit path (timeout
-      // included), keeping residue at zero across N starved merges
-      // (spec-pinned, LakeSpec). Declared interest BEFORE the write action
-      // below, on the frame's own session — the one whose bus delivers.
-      MergeStats.expect(framed.sparkSession, name)
-      framed.observe(name, statExprs.head, statExprs.tail: _*)
-    }.withColumn("_new", lit(1))
-    val unioned = state match {
-      case None => newShaped
-      case Some(st) => newShaped.unionByName(
-        shape(st.withColumn("op", lit("upsert"))).withColumn("_new", lit(0)))
-    }
-    val mcols = unioned.columns.filter(_ != "_new")
-    // NOTE the union order above: the BATCH-derived side is the LEFT
-    // operand, so the written dataset keeps the batch's SparkSession. In
-    // streaming foreachBatch the batch rides a cloned session while state
-    // (readFiles) rides the constructor session, and Observation delivery
-    // is per-session (ExecutionListenerBus filters on the executing qe's
-    // sessionUUID) — with state on the left, the stats observation above
-    // would never complete (measured: every streaming merge with non-empty
-    // state starved until the 30s fallback).
-    val merged0 = unioned
-      .repartition(col("partition"), col("_sub"))
-      .groupBy(col("partition"), col("_sub"), col("repo"), col("path"))
-      .agg(max_by(struct(mcols.map(col).toIndexedSeq: _*),
-        struct(col("_new"), col("offset"))).as("_m"))
-      .select(col("_m.*"))
-    val survivors = merged0.filter(col("op") === "upsert").drop("op")
-
-    // rewrite each touched bucket as exactly one deterministically named file;
-    // `_pp`/`_ss` duplicate the keys for the directory layout only (files stay
-    // self-contained — partitionBy strips its columns from file contents)
+    // EVERYTHING from the expect() inside the fold below through the write
+    // runs under one discard-on-failure guard: an analysis error building
+    // the union, a staging-delete IOException, or a failed write would
+    // otherwise strand the declared handoff (each retried batch uses a
+    // fresh UUID name, so stranded entries would accumulate one per failed
+    // attempt — the exact unbounded-residue mode MergeStats exists to
+    // close). discard after a successful await is a harmless no-op.
     val staging = new Path(io.rootPath, s"_staging/merge-$batchId")
-    io.fs.delete(staging, true)
-    // sort prefix (_pp, _ss) satisfies the dynamic-partition write's required
-    // ordering — without it FileFormatWriter inserts its own sort on top
-    try survivors
-      .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
-      .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
-      .drop("_sub")
-      .write.mode("overwrite").partitionBy("_pp", "_ss")
-      .parquet(staging.toString)
-    catch {
+    try {
+      io.fs.delete(staging, true)
+      val newShaped = obs.fold(shape(withSub)) { name =>
+        val statExprs = touchedParts.flatMap { p =>
+          val in = col("partition") === p
+          Seq(max(when(in, col("offset"))).as(s"max_$p"),
+            min(when(in, col("offset"))).as(s"min_$p"),
+            sum(when(in, 1L).otherwise(0L)).as(s"n_$p"),
+            sum(when(in && col("op") === "upsert", 1L).otherwise(0L)).as(s"nup_$p"))
+        }
+        val framed = shape(withSub)
+        // NAMED observe + MergeStats' one shared per-session listener, not an
+        // `Observation`: Observation's internal listener has no public
+        // unregister, so every starved observation leaked one permanently —
+        // MergeStats removes its handoff on every exit path (timeout
+        // included), keeping residue at zero across N starved merges
+        // (spec-pinned, LakeSpec). Declared interest BEFORE the write action
+        // below, on the frame's own session — the one whose bus delivers.
+        MergeStats.expect(framed.sparkSession, name)
+        framed.observe(name, statExprs.head, statExprs.tail: _*)
+      }.withColumn("_new", lit(1))
+      val unioned = state match {
+        case None => newShaped
+        case Some(st) => newShaped.unionByName(
+          shape(st.withColumn("op", lit("upsert"))).withColumn("_new", lit(0)))
+      }
+      val mcols = unioned.columns.filter(_ != "_new")
+      // NOTE the union order above: the BATCH-derived side is the LEFT
+      // operand, so the written dataset keeps the batch's SparkSession. In
+      // streaming foreachBatch the batch rides a cloned session while state
+      // (readFiles) rides the constructor session, and Observation delivery
+      // is per-session (ExecutionListenerBus filters on the executing qe's
+      // sessionUUID) — with state on the left, the stats observation above
+      // would never complete (measured: every streaming merge with non-empty
+      // state starved until the 30s fallback).
+      val merged0 = unioned
+        .repartition(col("partition"), col("_sub"))
+        .groupBy(col("partition"), col("_sub"), col("repo"), col("path"))
+        .agg(max_by(struct(mcols.map(col).toIndexedSeq: _*),
+          struct(col("_new"), col("offset"))).as("_m"))
+        .select(col("_m.*"))
+      val survivors = merged0.filter(col("op") === "upsert").drop("op")
+
+      // rewrite each touched bucket as exactly one deterministically named file;
+      // `_pp`/`_ss` duplicate the keys for the directory layout only (files stay
+      // self-contained — partitionBy strips its columns from file contents).
+      // sort prefix (_pp, _ss) satisfies the dynamic-partition write's required
+      // ordering — without it FileFormatWriter inserts its own sort on top
+      survivors
+        .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
+        .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
+        .drop("_sub")
+        .write.mode("overwrite").partitionBy("_pp", "_ss")
+        .parquet(staging.toString)
+    } catch {
       case t: Throwable =>
-        // a failed observed write never reaches the await below — drop the
-        // declared interest here or each such failure would strand one
-        // handoff entry (the exact unbounded-residue mode MergeStats exists
-        // to close)
         obs.foreach(MergeStats.discard)
         throw t
     }

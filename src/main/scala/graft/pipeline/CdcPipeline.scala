@@ -62,15 +62,22 @@ final class CdcPipeline(
     subBuckets: Int = 16,
     journalEnabled: Boolean = true,
     appId: String = "graft",
-    retention: Option[RetentionPolicy] = None) {
+    retention: Option[RetentionPolicy] = None,
+    commitStore: graft.lake.CommitStore = graft.lake.RenameCommitStore) {
   // appId is the writer identity for epoch fencing (Delta's txnAppId
   // pattern). A restart resuming THE SAME checkpoint must reuse the same
   // appId (fencing replays); a run with a FRESH checkpoint must use a NEW
   // appId, or its restarted batch numbering would be swallowed as replays.
   // Tie it to the checkpoint location in streaming deployments.
 
-  val journal = new ChangeJournal(journalRoot, spark, chunkBytes, appId)
-  val lake = new LakeTable(lakeRoot, spark, subBuckets, appId)
+  // the CommitStore seam reaches the deployment surface here: a production
+  // pipeline on an object store passes its store once and BOTH tables'
+  // publish protocols ride it (ReliabilitySpec drives this composition on
+  // the simulated-S3 store end to end)
+  val journal = new ChangeJournal(journalRoot, spark, chunkBytes, appId,
+    commitStore = commitStore)
+  val lake = new LakeTable(lakeRoot, spark, subBuckets, appId,
+    commitStore = commitStore)
 
   /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId.
     *

@@ -600,8 +600,27 @@ object GzArchive {
     * executor tasks — they must be Serializable and stateless.
     */
   trait InputFilter extends Serializable {
-    /** strict decode of one indexed chunk's raw byte range */
-    def decode(chunk: Array[Byte]): Array[Byte]
+    /** Wrap one chunk's raw byte stream with the decode — the STREAMING
+      * primitive: the text read path consumes records straight off this
+      * stream, so executor memory stays at buffer scale even for a chunk
+      * whose UNCOMPRESSED size exceeds the 2 GiB array bound (only the
+      * compressed range is materialized; the ranged-read guard bounds
+      * that side).
+      */
+    def wrap(in: java.io.InputStream): java.io.InputStream
+
+    /** strict full decode of one chunk, derived from [[wrap]] — used only
+      * where the record format needs the whole array (the binary
+      * length-prefixed decode)
+      */
+    def decode(chunk: Array[Byte]): Array[Byte] = {
+      val out = new ByteArrayOutputStream()
+      val in = wrap(new ByteArrayInputStream(chunk))
+      val b = new Array[Byte](8192)
+      var n = in.read(b)
+      while (n >= 0) { out.write(b, 0, n); n = in.read(b) }
+      out.toByteArray
+    }
     /** tolerant variant for ranged HEADER reads, which on reference-written
       * gzip files may end on a bare member boundary (the off-by-10 case);
       * encodings without that failure shape keep the strict default
@@ -616,7 +635,8 @@ object GzArchive {
 
   /** default: the Block-GZIP decode (multi-member tolerant-header gzip) */
   object GunzipFilter extends InputFilter {
-    def decode(chunk: Array[Byte]): Array[Byte] = gunzipStrict(chunk)
+    def wrap(in: java.io.InputStream): java.io.InputStream =
+      new GZIPInputStream(in)
     override def decodeTolerant(chunk: Array[Byte]): Array[Byte] =
       gunzipTolerant(chunk)
     override def framed(chunk: Array[Byte]): Boolean = gzipMagic(chunk)
@@ -624,7 +644,8 @@ object GzArchive {
 
   /** uncompressed archives: index byte ranges ARE the record bytes */
   object IdentityFilter extends InputFilter {
-    def decode(chunk: Array[Byte]): Array[Byte] = chunk
+    def wrap(in: java.io.InputStream): java.io.InputStream = in
+    override def decode(chunk: Array[Byte]): Array[Byte] = chunk
   }
 
   /** Config-driven filter resolution (`input.filter` = `gzip` | `none` |
@@ -735,7 +756,7 @@ object GzArchive {
               filter.decodeTolerant(rangedRead(fs, t.file, 0L, t.headerLen)),
               "UTF-8"))
           val r = new BufferedReader(new InputStreamReader(
-            new ByteArrayInputStream(filter.decode(buf)), "UTF-8"))
+            filter.wrap(new ByteArrayInputStream(buf)), "UTF-8"))
           val out = scala.collection.mutable.ArrayBuffer.empty[GzRecordH]
           // Lines past num_records in the file's LAST chunk are FORMAT
           // TRAILER bytes, not records: the reference writes `format.finish`
@@ -818,7 +839,7 @@ object GzArchive {
           else new String(filter.decodeTolerant(
             rangedRead(fsx, m.file, 0L, m.headerLen)), "UTF-8")
         val r = new BufferedReader(new InputStreamReader(
-          new ByteArrayInputStream(filter.decode(
+          filter.wrap(new ByteArrayInputStream(
             chunkBytes(fsx, m.file, m.lastByteOffset, m.lastByteLength, filter))),
           "UTF-8"))
         val trailer = new StringBuilder
@@ -876,16 +897,6 @@ object GzArchive {
 
   final case class GzBinRecord(topic: String, partition: Int, offset: Long,
       key: Array[Byte], value: Array[Byte])
-
-  /** strict full decompression of a (possibly multi-member) gzip range */
-  private def gunzipStrict(buf: Array[Byte]): Array[Byte] = {
-    val out = new ByteArrayOutputStream()
-    val in = new GZIPInputStream(new ByteArrayInputStream(buf))
-    val b = new Array[Byte](8192)
-    var n = in.read(b)
-    while (n >= 0) { out.write(b, 0, n); n = in.read(b) }
-    out.toByteArray
-  }
 
   private def readBinaryTasks(spark: SparkSession, tasks: Seq[ChunkTask],
       includeKeys: Boolean, filter: InputFilter = GunzipFilter): DataFrame = {

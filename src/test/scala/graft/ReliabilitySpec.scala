@@ -219,18 +219,16 @@ class ReliabilitySpec extends AnyFunSuite {
     val changes = ChangeGen.changes(spark, 800, nKeys = 80, partitions = 2,
       deletePct = 10)
     val store = new SimulatedObjectStore
-    val jr = SparkTestSession.tempDir("s3j")
-    val lr = SparkTestSession.tempDir("s3l")
-    val journal = new graft.lake.ChangeJournal(jr, spark, 4096, commitStore = store)
-    val lake = new LakeTable(lr, spark, subBuckets = 4, commitStore = store)
-    Seq(changes.filter(col("offset") < 120),
-        changes.filter(col("offset") >= 120)).zipWithIndex.foreach {
-      case (slice, b) =>
-        journal.append(slice, b.toLong)
-        lake.merge(slice, b.toLong): Unit
-    }
+    // through the DEPLOYMENT surface (CdcPipeline plumbs the one store into
+    // both tables), not hand-built tables — the composition a production
+    // object-store user actually runs
+    val p = new graft.pipeline.CdcPipeline(spark, SparkTestSession.tempDir("s3j"),
+      SparkTestSession.tempDir("s3l"), chunkBytes = 4096, subBuckets = 4,
+      commitStore = store)
+    p.runBatches(changes, 2)
     assert(store.puts.get() > 0 && store.copies.get() > 0,
       "the simulated store must actually have carried the commits")
+    val (journal, lake) = (p.journal, p.lake)
     assert(journal.read().count() === 800L)
     val got = lake.read()
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
