@@ -442,8 +442,24 @@ final class LakeTable(
     // deletes too). Grouped-by-partition shape is expressed as conditional
     // aggregates over the touched partitions — bounded by the topic's
     // partition count, not data volume.
+    // observe mode expresses grouped-by-partition stats as 4 conditional
+    // aggregates PER TOUCHED PARTITION inside one CollectMetrics node —
+    // bounded by the topic's partition count in the Kafka-CDC shape, but a
+    // 10k-partition topic would put 40k interpreted aggregates in the write's
+    // hot path. Past this bound the pre-pass agg (one hash aggregate,
+    // codegen'd, any partition count) is strictly the right plan, so fall
+    // back loudly rather than degrade quietly.
+    val maxObservePartitions = sys.props.get("graft.merge.observe.maxPartitions")
+      .map(_.toInt).getOrElse(1024)
+    val observeViable = touchedParts.size <= maxObservePartitions
+    if (statsMode == "observe" && !observeViable)
+      System.err.println(s"[graft] WARN: merge stats observe mode requested " +
+        s"but the batch touches ${touchedParts.size} partitions " +
+        s"(> $maxObservePartitions) — CollectMetrics would carry " +
+        s"${4 * touchedParts.size} interpreted aggregates in the write hot " +
+        "path; using the agg pre-pass for this batch")
     val obs =
-      if (statsMode == "agg") None
+      if (statsMode == "agg" || !observeViable) None
       else Some(s"merge-$batchId-${java.util.UUID.randomUUID().toString.take(8)}")
     // EVERYTHING from the expect() inside the fold below through the write
     // runs under one discard-on-failure guard: an analysis error building
@@ -520,7 +536,18 @@ final class LakeTable(
     // not hang on a caller's session plumbing — on timeout fall back
     // LOUDLY to a dedicated stats scan, under the same deterministic-
     // source contract as the write's own recompute.
+    def statsScan(): Seq[(Int, Long, Long, Long, Long)] =
+      withSub.groupBy(col("partition")).agg(
+        max(col("offset")), min(col("offset")), count(lit(1)),
+        sum(when(col("op") === "upsert", 1L).otherwise(0L)))
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSeq
     val statRows: Seq[(Int, Long, Long, Long, Long)] = obs match {
+      // observe requested but over the partition bound: the distinct
+      // pre-pass carried no stats, so pay the dedicated scan (what agg mode
+      // would have cost anyway) — NEVER commit empty stats, which would
+      // freeze watermarks and silently re-admit already-merged offsets
+      case None if statsMode == "observe" => statsScan()
       case None => aggStatRows
       case Some(name) =>
         MergeStats.await(name, 30000) match {
@@ -543,11 +570,7 @@ final class LakeTable(
             System.err.println("[graft] WARN: merge stats observation not " +
               "delivered in 30s (listener-starved session plumbing?) — " +
               "recomputing with a dedicated scan")
-            withSub.groupBy(col("partition")).agg(
-              max(col("offset")), min(col("offset")), count(lit(1)),
-              sum(when(col("op") === "upsert", 1L).otherwise(0L)))
-              .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
-                r.getLong(3), r.getLong(4))).toSeq
+            statsScan()
         }
     }
     mark("write")

@@ -134,6 +134,32 @@ class LakeSpec extends AnyFunSuite {
     } finally System.clearProperty("graft.merge.stats"): Unit
   }
 
+  test("observe mode over the partition bound falls back with REAL stats") {
+    // CollectMetrics carries 4 interpreted aggregates per touched partition;
+    // past the bound the merge must fall back to a dedicated scan — and the
+    // fallback must commit real watermarks/lineage, never empty stats
+    // (empty stats would freeze watermarks and re-admit merged offsets)
+    val changes = ChangeGen.changes(spark, 600, nKeys = 80, partitions = 4,
+      deletePct = 10)
+    System.setProperty("graft.merge.stats", "observe")
+    System.setProperty("graft.merge.observe.maxPartitions", "2") // 4 > 2
+    try {
+      val lake = new LakeTable(SparkTestSession.tempDir("obsbound"), spark,
+        subBuckets = 2)
+      lake.merge(changes, 0L)
+      assert(lake.watermarks().size === 4, "fallback must advance all watermarks")
+      assert(lake.watermarks().values.forall(_ >= 0L))
+      assertMatchesOracle(lake, changes)
+      // a second batch's dedup depends on those watermarks being real
+      assert(lake.merge(changes, 1L) === 0L,
+        "a full redelivery must dedup to zero applied rows")
+      assertMatchesOracle(lake, changes)
+    } finally {
+      System.clearProperty("graft.merge.stats")
+      System.clearProperty("graft.merge.observe.maxPartitions"): Unit
+    }
+  }
+
   test("multi-batch merge equals oracle; watermarks advance") {
     val changes = ChangeGen.changes(spark, 3000, nKeys = 200, partitions = 4,
       deletePct = 20)
