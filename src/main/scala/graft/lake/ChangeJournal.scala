@@ -537,7 +537,7 @@ final class ChangeJournal(
     snap.put("manifest", manifestRel)
     snap.put("batchId", batchId)
     snap.put("appId", appId)
-    io.swapSnapshot(Json.write(snap))
+    io.swapSnapshot(Json.write(snap), version - 1)
     filesCache = Some((version, resolved))
     manifestCache = Some((version, m))
   }

@@ -56,6 +56,11 @@ final class LakeTable(
 
   private val io = new TableIO(root, spark, commitStore)
 
+  // dropped-column keys already warned about (once per instance, not per
+  // batch — a CDC tail resends the column every batch by nature)
+  private val warnedDroppedIncoming =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
+
   /** columns that are engine metadata, not user payload */
   private val metaCols = Seq("partition", "offset", "_sub")
 
@@ -335,6 +340,23 @@ final class LakeTable(
     // the drop on the very next batch.
     val oldSchemas = schemas()
     val droppedKeys = SchemaEvolution.droppedKeys(oldSchemas)
+    // The discard is silent by data-path design (the column simply stops
+    // being projected), so it must NOT be silent operationally: a source DB
+    // that drops then later legitimately RE-ADDS a same-named column would
+    // lose that column's data forever with no signal. WARN once per
+    // (table, key) per process; the remedy is a fresh column name upstream
+    // (this lake keys columns by name — old files still hold the old
+    // generation's bytes under it; see dropColumn's scaladoc).
+    deduped.schema.fields.map(f => SchemaEvolution.keyOf(f.name))
+      .filter(droppedKeys.contains)
+      .foreach { k =>
+        if (warnedDroppedIncoming.add(k)) System.err.println(
+          s"[graft] WARN: incoming batch carries column '$k', which was " +
+            s"dropped from $root and is retired permanently — its values " +
+            "are being DISCARDED. If the source re-added this column, " +
+            "rename it upstream; same-named re-adds cannot be " +
+            "distinguished from the tail still sending the old column.")
+      }
     val incomingSchema = StructType(
       deduped.schema.fields.filterNot(f => metaCols.contains(f.name) ||
         f.name == "op" || droppedKeys.contains(SchemaEvolution.keyOf(f.name))))
@@ -450,7 +472,11 @@ final class LakeTable(
     // codegen'd, any partition count) is strictly the right plan, so fall
     // back loudly rather than degrade quietly.
     val maxObservePartitions = sys.props.get("graft.merge.observe.maxPartitions")
-      .map(_.toInt).getOrElse(1024)
+      .map { v =>
+        require(scala.util.Try(v.toInt).isSuccess,
+          s"graft.merge.observe.maxPartitions must be an integer, got '$v'")
+        v.toInt
+      }.getOrElse(1024)
     val observeViable = touchedParts.size <= maxObservePartitions
     if (statsMode == "observe" && !observeViable)
       System.err.println(s"[graft] WARN: merge stats observe mode requested " +
@@ -517,10 +543,12 @@ final class LakeTable(
       // self-contained — partitionBy strips its columns from file contents).
       // sort prefix (_pp, _ss) satisfies the dynamic-partition write's required
       // ordering — without it FileFormatWriter inserts its own sort on top
-      survivors
+      val toWrite = survivors
         .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
         .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
         .drop("_sub")
+      LakeTable.planHook("merge-write", toWrite)
+      toWrite
         .write.mode("overwrite").partitionBy("_pp", "_ss")
         .parquet(staging.toString)
     } catch {
@@ -857,7 +885,7 @@ final class LakeTable(
     snap.put("manifest", manifestRel)
     snap.put("batchId", batchId)
     snap.put("appId", appId)
-    io.swapSnapshot(Json.write(snap))
+    io.swapSnapshot(Json.write(snap), version - 1)
     filesCache = Some((version, resolved))
     manifestCache = Some((version, m))
   }
@@ -1086,6 +1114,25 @@ final class LakeTable(
     commit(Full(entries), watermarks(), ss, lastBatchId, Nil, newSubBuckets)
   }
 
+  /** Re-bucket by the measured sizing rule instead of a hand-picked count:
+    * size `subBuckets` so live bucket files land at `targetFileBytes`
+    * (see [[LakeTable.recommendSubBuckets]]). Live bytes come from one
+    * status call per live file — O(live files) driver-side, the same order
+    * as the compaction's own promote loop, so the measurement never
+    * dominates the rewrite it sizes. Returns the applied count.
+    */
+  def compactToTargetFileSize(targetFileBytes: Long = 256L << 20): Int = {
+    val live = liveFiles()
+    require(live.nonEmpty, s"cannot compact empty table at $root")
+    val partitions = live.map(_.partition).distinct.size
+    val bytes = live.iterator
+      .map(f => io.fs.getFileStatus(new Path(io.rootPath, f.path)).getLen)
+      .sum
+    val sb = LakeTable.recommendSubBuckets(bytes, partitions, targetFileBytes)
+    compact(sb)
+    sb
+  }
+
   /** Per-batch per-partition lineage (audit trail): the archived parquet
     * segments (written by vacuum, a plain distributed scan — never
     * materialized on the driver) plus every surviving manifest's rows — the
@@ -1112,6 +1159,48 @@ final class LakeTable(
 }
 
 object LakeTable {
+  /** Bucket files this small pay more in promote RPCs, manifest entries and
+    * parquet footers than they save in pruning (measured: the clustered-key
+    * amplification study's 30k-file row ballooned live bytes 11.9 → 93 MB
+    * and wall 10× on per-file overhead — BENCH/BASELINE.md r06).
+    */
+  val minBucketFileBytes: Long = 64L << 20
+
+  /** Executable form of the measured `subBuckets` sizing rule
+    * (BENCH/BASELINE.md r06, priority 1): bound bucket-file size FIRST —
+    * `subBuckets ≈ tableBytes / (partitions × targetFileBytes)` with
+    * target 256–512 MB — and never slice below [[minBucketFileBytes]]
+    * files. (Priority 2 is a regime check, not arithmetic: bucket count
+    * only reduces rewrite amplification once total buckets ≳ 3–10× the
+    * per-batch distinct-key count; for uniform key spray control write
+    * cost with batch size instead.)
+    *
+    * Example from the rule as published: 100 TiB over 256 partitions at a
+    * 256 MiB target ⇒ 1600 sub-buckets per partition.
+    */
+  def recommendSubBuckets(tableBytes: Long, partitions: Int,
+      targetFileBytes: Long = 256L << 20): Int = {
+    require(tableBytes >= 0, s"tableBytes must be >= 0, got $tableBytes")
+    require(partitions >= 1, s"partitions must be >= 1, got $partitions")
+    require(targetFileBytes >= minBucketFileBytes,
+      s"targetFileBytes must be >= $minBucketFileBytes (64 MB floor: " +
+        s"below it per-file overhead dominates), got $targetFileBytes")
+    val perPartition = tableBytes.toDouble / partitions
+    val byTarget = math.round(perPartition / targetFileBytes)
+    val fileSizeFloorCap = math.floor(perPartition / minBucketFileBytes).toLong
+    math.max(1L, math.min(byTarget, fileSizeFloorCap))
+      .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** Audit seam: receives the merge's final write frame just before its
+    * write action, so ExplainAudit can dump the foreachBatch job's physical
+    * plan (the union→repartition→max_by→clustered-write chain) into
+    * PLANS.md — making the one-exchange claim artifact-verifiable instead
+    * of comment-verifiable. A no-op lambda in production.
+    */
+  @volatile private[graft] var planHook: (String, DataFrame) => Unit =
+    (_, _) => ()
+
   /** Cumulative per-phase merge wall seconds (stats/write/promote/commit)
     * across every merge in this JVM. Bench snapshots-and-resets it around
     * the graded eng_cdc_merge run so the artifact carries the phase

@@ -45,8 +45,13 @@ object MergeStats {
       } catch { case scala.util.control.NonFatal(_) => () }
     override def onSuccess(funcName: String, qe: QueryExecution,
         durationNs: Long): Unit = route(qe)
+    // onFailure delivers a FAILED query's partial metrics — routing them
+    // could satisfy a pending slot with stats that never committed, and the
+    // merge path's discard-before-await would mask it only by luck. Failed
+    // queries route nothing; their callers discard the handoff and fall
+    // back to the stats scan.
     override def onFailure(funcName: String, qe: QueryExecution,
-        exception: Exception): Unit = route(qe)
+        exception: Exception): Unit = ()
   }
 
   /** Declare interest in observation `name`, delivered on `session`'s

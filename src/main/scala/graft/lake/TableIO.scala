@@ -23,6 +23,18 @@ object TableIO {
   @volatile private[graft] var faultHook: String => Unit = _ => ()
 }
 
+/** A conditional snapshot publish lost its compare-and-swap: another writer
+  * committed the version this writer expected to claim. The failed batch did
+  * NOT commit (its staged data and manifest are unreferenced garbage for the
+  * vacuum sweep); the caller must re-read the table state before retrying.
+  * Loud by design — the reference never needs this because Kafka Connect
+  * guarantees one task per partition (the cursor overwrite at
+  * sink/.../S3Writer.java:142-153 is safe only under that exclusivity); a
+  * shared lake table earns the same safety with a CAS commit instead.
+  */
+final class ConcurrentCommitException(msg: String)
+  extends IllegalStateException(msg)
+
 /** The atomic-publish primitive as a SEAM. Every durable mutation this
   * engine's commit protocol performs reduces to two operations — publish a
   * complete small object at a known name (snapshot/manifest/cursor swap) and
@@ -52,6 +64,20 @@ trait CommitStore {
     * manifest, so harmless — the reference's orphaned-upload story).
     */
   def publishFile(io: TableIO, src: Path, dest: Path): Unit
+
+  /** Compare-and-swap publish for the table's commit point. `dest` holds a
+    * small JSON object carrying a monotonically increasing numeric
+    * `version`; publish `content` (whose version is `expected + 1`) ONLY if
+    * the version currently at `dest` equals `expected` (`-1` = dest must
+    * not exist — a brand-new table). Returns false when the precondition
+    * fails — another writer committed first — and the store must make the
+    * check-and-publish atomic against its own concurrent callers.
+    *
+    * Idempotency contract: if `dest` already holds exactly `content` (a
+    * retried publish that had in fact succeeded), return true — a retry of
+    * one's own completed swap is success, not a lost race.
+    */
+  def putIfVersion(io: TableIO, dest: Path, content: String, expected: Long): Boolean
 }
 
 /** Default store: single rename-with-OVERWRITE, atomic on HDFS and local
@@ -80,6 +106,82 @@ object RenameCommitStore extends CommitStore {
     io.fs.delete(dest, false)
     if (!io.fs.rename(src, dest))
       throw new java.io.IOException(s"rename $src -> $dest failed")
+  }
+
+  // Per-destination JVM locks: same-process writers (the spec's race, or two
+  // pipelines in one driver) serialize the check-and-claim exactly; the
+  // version-named marker rename below is the cross-PROCESS backstop (atomic
+  // exclusive on HDFS; on a raw local fs the no-overwrite rename has the
+  // usual check-then-act window, which is why the lock exists — the same
+  // split Delta's single-driver LogStore documents for local/dev use).
+  private val casLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** CAS via version-named claim markers + roll-forward.
+    *
+    * Claiming version v = expected+1 is a rename WITHOUT overwrite of a
+    * complete tmp file onto `_cas/<dest>.v{v}` — exactly one claimer can
+    * win, and a crash mid-write leaves no marker (the tmp is unreferenced
+    * garbage), so an existing marker is always complete. The marker IS the
+    * commit point: a writer that crashed between claiming and publishing
+    * left a durable commit that the next caller ROLLS FORWARD into `dest`
+    * before judging its own precondition — no committed version is ever
+    * lost, and the crashed writer's restart sees its own commit (and is
+    * deduped by the batch fence). Markers at or below the published
+    * version are inert and GC'd opportunistically.
+    */
+  def putIfVersion(io: TableIO, dest: Path, content: String,
+      expected: Long): Boolean = {
+    val q = io.fs.makeQualified(dest).toString
+    val lock = casLocks.computeIfAbsent(q, _ => new Object)
+    lock.synchronized {
+      val casDir = new Path(dest.getParent, "_cas")
+      val prefix = dest.getName + ".v"
+      def markerVersion(p: Path): Option[Long] = {
+        val n = p.getName
+        if (n.startsWith(prefix))
+          scala.util.Try(n.drop(prefix.length).toLong).toOption
+        else None
+      }
+      val markers: Seq[(Path, Long)] =
+        if (io.fs.exists(casDir))
+          io.fs.listStatus(casDir).toSeq.map(_.getPath)
+            .flatMap(p => markerVersion(p).map(p -> _))
+        else Nil
+      var cur =
+        if (io.fs.exists(dest))
+          Json.parse(io.readString(dest)).get("version").asLong
+        else -1L
+      // roll forward the highest committed-but-unpublished marker
+      markers.filter(_._2 > cur).sortBy(_._2).lastOption.foreach {
+        case (p, v) => putAtomic(io, dest, io.readString(p)); cur = v
+      }
+      if (cur == expected + 1 && io.readString(dest) == content)
+        return true // idempotent retry of our own completed publish
+      if (cur != expected) return false
+      val v = expected + 1
+      val marker = new Path(casDir, f"$prefix$v%012d")
+      val tmp = new Path(casDir, marker.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      try {
+        io.writeString(tmp, content)
+        io.renameNoOverwrite(tmp, marker)
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          try io.fs.delete(tmp, false): Unit
+          catch { case _: Throwable => () }
+          return false // a cross-process claimer beat us to v
+        case t: Throwable =>
+          try io.fs.delete(tmp, false): Unit
+          catch { case _: Throwable => () }
+          throw t
+      }
+      putAtomic(io, dest, content)
+      markers.filter(_._2 <= expected).foreach { case (p, _) =>
+        try io.fs.delete(p, false): Unit catch { case _: Throwable => () }
+      }
+      true
+    }
   }
 }
 
@@ -147,6 +249,14 @@ final class TableIO(val root: String, spark: SparkSession,
     fc.rename(fs.makeQualified(src), fs.makeQualified(dest),
       org.apache.hadoop.fs.Options.Rename.OVERWRITE)
 
+  /** Rename that FAILS (FileAlreadyExistsException) if `dest` exists — the
+    * exclusive-claim primitive for [[RenameCommitStore.putIfVersion]]
+    * (atomic on HDFS; see the casLocks note for local fs).
+    */
+  private[lake] def renameNoOverwrite(src: Path, dest: Path): Unit =
+    fc.rename(fs.makeQualified(src), fs.makeQualified(dest),
+      org.apache.hadoop.fs.Options.Rename.NONE)
+
   /** Atomic write via the [[CommitStore]] seam — there is never a window
     * with the destination missing or truncated. (The previous
     * delete-then-rename had a crash window that left NO snapshot, silently
@@ -160,7 +270,30 @@ final class TableIO(val root: String, spark: SparkSession,
     store.putAtomic(this, dest, s)
   }
 
-  def swapSnapshot(json: String): Unit = writeAtomic(snapshotPath, json)
+  /** Compare-and-swap snapshot publish — the table's ONE commit point for
+    * concurrent-writer safety. `expected` is the snapshot version this
+    * writer planned against (`-1` for a brand-new table); if another writer
+    * committed in between, the swap fails LOUDLY with
+    * [[ConcurrentCommitException]] and nothing was published (the staged
+    * manifest/data are unreferenced garbage for vacuum). Retries as a unit:
+    * the store's idempotency contract makes a retry of an own completed
+    * swap read as success, never as a lost race.
+    */
+  def swapSnapshot(json: String, expected: Long): Unit = {
+    val won = retry("swapSnapshot") {
+      store.putIfVersion(this, snapshotPath, json, expected)
+    }
+    if (!won) {
+      val cur = readSnapshot()
+      val curV = cur.map(_.get("version").asLong).getOrElse(-1L)
+      val curApp = cur.flatMap(s => Option(s.get("appId")).map(_.asText))
+        .getOrElse("?")
+      throw new ConcurrentCommitException(
+        s"lost commit race at $root: expected snapshot version $expected " +
+          s"but found $curV (appId=$curApp); this batch did NOT commit — " +
+          "re-read the table state before retrying")
+    }
+  }
 
   /** Current snapshot, or None for a brand-new table — the 404 ⇒ offset 0
     * case (S3Writer.java:101-107).

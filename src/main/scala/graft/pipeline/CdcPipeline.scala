@@ -52,6 +52,12 @@ object CdcPipeline {
     * Production never touches it.
     */
   @volatile private[graft] var maintenanceHook: Long => Unit = _ => ()
+
+  /** Consecutive transient maintenance failures tolerated before the
+    * defer-and-retry contract is judged non-convergent and the stream
+    * fails loudly (see the catch in applyBatch).
+    */
+  private[graft] val maxMaintenanceFailures = 3
 }
 
 final class CdcPipeline(
@@ -78,6 +84,10 @@ final class CdcPipeline(
     commitStore = commitStore)
   val lake = new LakeTable(lakeRoot, spark, subBuckets, appId,
     commitStore = commitStore)
+
+  // consecutive transient maintenance failures (driver-side, foreachBatch
+  // runs batches serially); reset on the first cadence hit that converges
+  private var maintenanceFailures = 0
 
   /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId.
     *
@@ -132,10 +142,29 @@ final class CdcPipeline(
           if (journalEnabled) journal.truncate(lake.watermarks(), r.journalGraceMs): Unit
           if (r.vacuumKeepLast >= 1)
             lake.vacuum(r.vacuumKeepLast, r.orphanGraceMs): Unit
+          maintenanceFailures = 0
         } catch {
+          // Only transient-IO-shaped failures defer: an invariant violation
+          // (require / IllegalState from truncate or vacuum — a broken
+          // manifest chain, corrupt metadata) would fail IDENTICALLY every
+          // cadence hit forever while the stream quietly never cleans up,
+          // so it escalates immediately. Repeated "transient" failures are
+          // transient in name only — after N consecutive cadence hits the
+          // defer-and-retry contract has demonstrably not converged and
+          // the stream fails loudly rather than leak history unbounded.
+          case e: IllegalStateException => throw e
+          case e: IllegalArgumentException => throw e
           case scala.util.control.NonFatal(e) =>
+            maintenanceFailures += 1
+            if (maintenanceFailures >= CdcPipeline.maxMaintenanceFailures)
+              throw new IllegalStateException(
+                s"retention maintenance failed $maintenanceFailures " +
+                  "consecutive cadence hits — not transient; failing the " +
+                  "stream rather than leaking history unbounded", e)
             System.err.println(s"[graft] WARN: retention maintenance failed " +
-              s"after batch $batchId (will retry at the next cadence hit): $e")
+              s"after batch $batchId ($maintenanceFailures consecutive; " +
+              s"escalates at ${CdcPipeline.maxMaintenanceFailures}; will " +
+              s"retry at the next cadence hit): $e")
         }
       }
     }

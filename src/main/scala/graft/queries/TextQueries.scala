@@ -206,15 +206,23 @@ object TextQueries {
     },
 
     // HLL++ sketch surface: approximate distinct tokens per source next to
-    // the exact count (the approx column has no cross-engine oracle — the
-    // driver records a rows-only check; the exact columns anchor sanity)
+    // the exact count. A raw sketch estimate can never hash-match a foreign
+    // engine, so the GATE row carries (a) the exact columns, DuckDB-oracled,
+    // and (b) the sketch as a WITHIN-BOUND verdict: |approx − exact| ≤
+    // max(1, 4·rsd·exact) — the same 4× bound SketchSpec pins — which the
+    // oracle asserts as literal TRUE. A sketch that drifts out of bound
+    // turns the gate red instead of hiding behind a rows-only check.
     "txt_approx_distinct" -> { (s, dir) =>
       docs(s, dir)
         .select(col("source"), explode(split(trim(col("text")), "\\s+")).as("word"))
         .groupBy(col("source"))
         .agg(countDistinct(col("word")).as("exact_distinct"),
-          approx_count_distinct(col("word"), 0.01).as("approx_distinct"),
+          approx_count_distinct(col("word"), 0.01).as("approx"),
           count(lit(1)).as("n_tokens"))
+        .select(col("source"), col("exact_distinct"), col("n_tokens"),
+          (abs(col("approx") - col("exact_distinct")) <=
+            greatest(lit(1L), (col("exact_distinct") * lit(0.04)).cast("long")))
+            .as("approx_within_rsd"))
     },
 
     // document fingerprint: md5 of whitespace-normalized text
@@ -283,6 +291,17 @@ object TextQueries {
     "txt_dedup_exact" ->
       """SELECT md5(text) AS text_md5, min(doc_id) AS survivor, count(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // the within-bound verdict is the oracle-checkable face of the sketch:
+    // DuckDB asserts TRUE, Spark computes it — sketch drift fails the gate
+    "txt_approx_distinct" ->
+      """WITH words AS (
+        |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS word
+        |  FROM documents
+        |)
+        |SELECT source, count(DISTINCT word) AS exact_distinct,
+        |       count(*) AS n_tokens, TRUE AS approx_within_rsd
+        |FROM words GROUP BY 1""".stripMargin,
 
     "txt_minhash" -> (duckSig + "\nSELECT * FROM sig"),
 

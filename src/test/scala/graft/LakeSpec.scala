@@ -380,6 +380,42 @@ class LakeSpec extends AnyFunSuite {
     assertMatchesOracle(lake2, changes)
   }
 
+  test("recommendSubBuckets pins the measured sizing rule's arithmetic") {
+    import graft.lake.LakeTable.recommendSubBuckets
+    val MiB = 1L << 20
+    // the rule's own published example (BENCH/BASELINE.md r06): 100 TiB
+    // over 256 partitions at a 256 MiB target ⇒ 1600 sub-buckets
+    assert(recommendSubBuckets(100L << 40, 256, 256 * MiB) === 1600)
+    // a 512 MiB target halves the count
+    assert(recommendSubBuckets(100L << 40, 256, 512 * MiB) === 800)
+    // the 64 MB file floor wins over the target: 96 MiB per partition at a
+    // 64 MiB target would round to 2 buckets of 48 MiB — the floor caps at 1
+    assert(recommendSubBuckets(4 * 96 * MiB, 4, 64 * MiB) === 1)
+    // tiny tables never go below one bucket
+    assert(recommendSubBuckets(10 * MiB, 4) === 1)
+    assert(recommendSubBuckets(0L, 1) === 1)
+    // malformed inputs fail loudly, never mis-size silently
+    intercept[IllegalArgumentException](recommendSubBuckets(1L << 40, 0))
+    intercept[IllegalArgumentException](
+      recommendSubBuckets(1L << 40, 4, 32 * MiB)) // below the 64 MB floor
+  }
+
+  test("compactToTargetFileSize applies the rule where compact re-buckets") {
+    val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
+      deletePct = 10)
+    val lake = new LakeTable(SparkTestSession.tempDir("lakecpt"), spark,
+      subBuckets = 8)
+    lake.merge(changes, 0L)
+    assert(lake.layoutSubBuckets === 8)
+    // sf-gate-scale live bytes are far below one 256 MB target file per
+    // partition, so the rule must collapse the layout to 1 bucket — and the
+    // applied count must be table metadata like any compact()
+    val applied = lake.compactToTargetFileSize()
+    assert(applied === 1)
+    assert(lake.layoutSubBuckets === 1)
+    assertMatchesOracle(lake, changes)
+  }
+
   test("crash + restart + full replay is exactly-once (fenced, idempotent)") {
     val changes = ChangeGen.changes(spark, 2000, nKeys = 150, partitions = 4,
       deletePct = 10)

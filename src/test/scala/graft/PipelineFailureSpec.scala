@@ -123,4 +123,43 @@ class PipelineFailureSpec extends AnyFunSuite {
     assert(journalParquets(jr) === 0, "the next cadence hit must converge")
     assertLakeMatchesOracle(p, changes)
   }
+
+  test("an invariant violation in maintenance escalates immediately") {
+    // deferral is for TRANSIENT failures; corrupt metadata / broken chains
+    // (require, IllegalState) would fail identically every cadence hit
+    // forever while history leaks — they must kill the stream at once
+    val changes = ChangeGen.changes(spark, 300, nKeys = 40, partitions = 2)
+    val policy = graft.pipeline.RetentionPolicy(everyNBatches = 1,
+      journalGraceMs = 0L, vacuumKeepLast = 1, orphanGraceMs = 0L)
+    val p = new CdcPipeline(spark, SparkTestSession.tempDir("mti-j"),
+      SparkTestSession.tempDir("mti-l"), chunkBytes = 4096, subBuckets = 2,
+      retention = Some(policy))
+    CdcPipeline.maintenanceHook =
+      _ => throw new IllegalStateException("injected broken manifest chain")
+    val e = try intercept[IllegalStateException](p.runBatches(changes, 1))
+            finally CdcPipeline.maintenanceHook = _ => ()
+    assert(e.getMessage.contains("injected"))
+    assert(p.lake.lastBatchId === 0L,
+      "the batch's own commits landed before maintenance — they must stay")
+  }
+
+  test("persistent 'transient' maintenance failure escalates after N hits") {
+    val changes = ChangeGen.changes(spark, 600, nKeys = 60, partitions = 2)
+    val policy = graft.pipeline.RetentionPolicy(everyNBatches = 1,
+      journalGraceMs = 0L, vacuumKeepLast = 1, orphanGraceMs = 0L)
+    val p = new CdcPipeline(spark, SparkTestSession.tempDir("mtn-j"),
+      SparkTestSession.tempDir("mtn-l"), chunkBytes = 4096, subBuckets = 2,
+      retention = Some(policy))
+    var hits = 0
+    CdcPipeline.maintenanceHook = _ => {
+      hits += 1
+      throw new java.io.IOException("injected persistent store failure")
+    }
+    // hits 1..N-1 defer with a WARN; hit N escalates — the defer contract
+    // has demonstrably not converged and history would leak unbounded
+    val e = try intercept[IllegalStateException](p.runBatches(changes, 4))
+            finally CdcPipeline.maintenanceHook = _ => ()
+    assert(e.getMessage.contains("consecutive"))
+    assert(hits === graft.pipeline.CdcPipeline.maxMaintenanceFailures)
+  }
 }

@@ -47,7 +47,7 @@ class ReliabilitySpec extends AnyFunSuite {
     val lake = new LakeTable(SparkTestSession.tempDir("retrysnap"), spark, subBuckets = 2)
     val fired = new AtomicInteger(0)
     withFault { tag =>
-      if (tag == "writeAtomic" && fired.getAndIncrement() == 0)
+      if (tag == "swapSnapshot" && fired.getAndIncrement() == 0)
         throw new java.io.IOException("injected transient rename failure")
     } {
       lake.merge(changes, 0L)
@@ -209,6 +209,22 @@ class ReliabilitySpec extends AnyFunSuite {
         throw new java.io.IOException("injected crash between copy and delete")
       io.fs.delete(src, false): Unit
     }
+
+    /** Conditional PUT — S3's If-Match/If-None-Match preconditions (the
+      * primitive Iceberg's S3 commit uses): the server serializes the
+      * precondition check with the PUT, which the lock stands in for.
+      */
+    private val casLock = new Object
+    def putIfVersion(io: TableIO, dest: Path, content: String,
+        expected: Long): Boolean = casLock.synchronized {
+      val cur =
+        if (io.fs.exists(dest))
+          graft.lake.Json.parse(io.readString(dest)).get("version").asLong
+        else -1L
+      if (cur == expected + 1 && io.readString(dest) == content) true
+      else if (cur != expected) false
+      else { putAtomic(io, dest, content); true }
+    }
   }
 
   test("the full commit protocol runs on S3 semantics (no atomic rename)") {
@@ -259,5 +275,123 @@ class ReliabilitySpec extends AnyFunSuite {
     val want = ChangeGen.oracleFinalState(changes)
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
     assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  // ---- concurrent-writer commit safety: CAS on the snapshot swap --------
+  //
+  // The reference never faces this — Kafka Connect guarantees one task per
+  // partition, so its cursor overwrite (S3Writer.java:142-153) is safe by
+  // exclusivity. A lake TABLE is a shared resource: two pipelines pointed at
+  // the same root must never silently clobber each other's snapshot. The
+  // contract: exactly one commit wins a version; the loser fails LOUDLY
+  // with ConcurrentCommitException and committed nothing.
+
+  /** Deterministic interleave: writer A is paused at its snapshot swap (the
+    * faultHook fires before each swap attempt) while writer B commits the
+    * same version underneath it. A must lose loudly; a fresh A merge then
+    * succeeds against the new version.
+    */
+  private def raceLoserFailsLoudly(store: Option[graft.lake.CommitStore],
+      tag: String): Unit = {
+    val root = SparkTestSession.tempDir(s"race-$tag")
+    def mk(app: String) = store match {
+      case Some(s) =>
+        new LakeTable(root, spark, subBuckets = 2, appId = app, commitStore = s)
+      case None => new LakeTable(root, spark, subBuckets = 2, appId = app)
+    }
+    val a = mk("writer-a")
+    val b = mk("writer-b")
+    // A's offsets sit ABOVE B's: after losing the race, A's retry must pass
+    // the watermarks B committed (sub-watermark offsets are redelivery by
+    // contract and would be deduped away, which is not what this tests)
+    val batchA = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 1, startOffset = 5000L)
+    val batchB = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 2)
+    val interleaved = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[graft.lake.ConcurrentCommitException] {
+      withFault { t =>
+        // B's own merge fires this hook too — the guard lets it through
+        if (t == "swapSnapshot" && interleaved.compareAndSet(false, true))
+          b.merge(batchB, 0L)
+      } {
+        a.merge(batchA, 0L)
+      }
+    }
+    assert(interleaved.get(), "the interleave must actually have happened")
+    assert(e.getMessage.contains("writer-b"),
+      s"the loser's error must name the winner: ${e.getMessage}")
+    // B's commit is intact — never clobbered by the loser
+    assert(b.lastBatchId === 0L)
+    val want = ChangeGen.oracleFinalState(batchB)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got0 = b.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got0.exceptAll(want).isEmpty && want.exceptAll(got0).isEmpty)
+    // the loser re-reads and retries against the NEW version: now it wins
+    // (different appId, so B's fence does not eat A's batch 0)
+    a.merge(batchA, 0L)
+    val wantBoth = ChangeGen.oracleFinalState(batchB.unionAll(batchA))
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got1 = a.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got1.exceptAll(wantBoth).isEmpty && wantBoth.exceptAll(got1).isEmpty)
+  }
+
+  test("two writers racing one root: loser fails loudly (rename store)") {
+    raceLoserFailsLoudly(None, "rename")
+  }
+
+  test("two writers racing one root: loser fails loudly (object store)") {
+    raceLoserFailsLoudly(Some(new SimulatedObjectStore), "s3")
+  }
+
+  test("putIfVersion: N concurrent claimers of one version — exactly one wins") {
+    for ((store, tag) <- Seq(
+        (graft.lake.RenameCommitStore: graft.lake.CommitStore, "rename"),
+        (new SimulatedObjectStore: graft.lake.CommitStore, "s3"))) {
+      val io = new TableIO(SparkTestSession.tempDir(s"casrace-$tag"), spark, store)
+      assert(store.putIfVersion(io, io.snapshotPath,
+        """{"version":0,"appId":"seed"}""", -1L))
+      val n = 8
+      val barrier = new java.util.concurrent.CyclicBarrier(n)
+      val wins = new AtomicInteger(0)
+      val threads = (0 until n).map { i =>
+        new Thread(() => {
+          barrier.await()
+          if (store.putIfVersion(io, io.snapshotPath,
+              s"""{"version":1,"appId":"racer-$i"}""", 0L))
+            wins.incrementAndGet(): Unit
+        })
+      }
+      threads.foreach(_.start()); threads.foreach(_.join())
+      assert(wins.get() === 1, s"[$tag] exactly one claimer may win version 1")
+      val winner = graft.lake.Json.parse(io.readString(io.snapshotPath))
+      assert(winner.get("version").asLong === 1L)
+    }
+  }
+
+  test("putIfVersion: crashed claimer rolls forward, retry reads as success") {
+    val io = new TableIO(SparkTestSession.tempDir("casroll"), spark)
+    val store = graft.lake.RenameCommitStore
+    val v0 = """{"version":0,"appId":"w0"}"""
+    val v1 = """{"version":1,"appId":"crashed"}"""
+    assert(store.putIfVersion(io, io.snapshotPath, v0, -1L))
+    // simulate a writer that died between claiming v1 and publishing it:
+    // the complete marker exists, snapshot.json still reads v0
+    io.writeString(new Path(new Path(io.rootPath, "_cas"),
+      f"snapshot.json.v${1L}%012d"), v1)
+    assert(io.readString(io.snapshotPath) === v0)
+    // another writer planning against v0 must LOSE — the crashed claim is a
+    // durable commit — and the loss must publish it (roll-forward)
+    assert(!store.putIfVersion(io, io.snapshotPath,
+      """{"version":1,"appId":"other"}""", 0L))
+    assert(io.readString(io.snapshotPath) === v1,
+      "the crashed claimer's commit must never be lost")
+    // the crashed writer's own retry of its completed swap reads as success
+    assert(store.putIfVersion(io, io.snapshotPath, v1, 0L))
+    // and the table moves on: version 2 commits normally
+    assert(store.putIfVersion(io, io.snapshotPath,
+      """{"version":2,"appId":"w2"}""", 1L))
   }
 }
