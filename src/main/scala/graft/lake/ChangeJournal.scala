@@ -44,6 +44,9 @@ final class ChangeJournal(
   /** committed batch id, or -1 for a fresh table */
   def lastBatchId: Long = io.readSnapshot().map(_.get("batchId").asLong).getOrElse(-1L)
 
+  private def currentVersion: Long =
+    io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
+
   /** Same writer AND batch id at or below committed (see LakeTable.isReplay:
     * a new appId's restarted numbering must not be swallowed as replays —
     * the offset gate still dedups its rows).
@@ -156,6 +159,10 @@ final class ChangeJournal(
 
     if (isReplay(batchId)) return 0L // fenced replay: already durable
 
+    // CAS baseline: every read below (previous schema, resume offsets, the
+    // offset-skip gate) plans against this version — see LakeTable.merge
+    val plannedVersion = currentVersion
+
     // the journal's current schema is KNOWN at every commit (this batch's
     // columns merged additively over the previous manifest's schema), so
     // persist it — a caught-up reader must not have to open parquet footers
@@ -196,12 +203,12 @@ final class ChangeJournal(
       sum(col("bytes_uncompressed")).as("byte_length_uncompressed"))
       .collect()
     if (chunkStats.isEmpty) {
-      commitManifest(Nil, next, batchId, mergedSchema)
+      commitManifest(Nil, next, batchId, mergedSchema, plannedVersion)
       return 0L
     }
 
     val dataCols = batch.columns.toSeq
-    val staging = new Path(io.rootPath, s"_staging/append-$batchId")
+    val staging = new Path(io.rootPath, s"_staging/append-$appId-$batchId")
     io.fs.delete(staging, true)
     // `_p` duplicates `partition` for the directory layout only: partitionBy
     // strips its column from file contents, and promoted files must stay
@@ -262,12 +269,12 @@ final class ChangeJournal(
       fileNode
     }
     io.fs.delete(staging, true)
-    io.fs.delete(new Path(io.rootPath, "_staging"), true)
+    io.sweepStaleStaging() // crashed peers' leftovers only, never in-flight
 
     val newNext = next ++ byPartition.map { case (p, chunks) =>
       p -> (chunks.map(_.getLong(4)).max + 1L)
     }
-    commitManifest(newFiles, newNext, batchId, mergedSchema)
+    commitManifest(newFiles, newNext, batchId, mergedSchema, plannedVersion)
     appended
   }
 
@@ -305,13 +312,14 @@ final class ChangeJournal(
     */
   def truncate(watermarks: Map[Int, Long],
       graceMs: Long = 24L * 3600 * 1000): Int = {
+    val plannedVersion = currentVersion // CAS baseline: the partition below
     val (dead, kept) = liveFiles().partition { f =>
       watermarks.get(f.get("partition").asInt)
         .exists(w => f.get("max_offset").asLong <= w)
     }
     if (dead.nonEmpty) {
       commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
-        removed = dead.map(_.get("path").asText))
+        plannedVersion, removed = dead.map(_.get("path").asText))
       // Manifests strictly below the NEW current checkpoint version are
       // unreachable from any live fold chain. Their names are DERIVED, not
       // listed: versions are sequential, so the not-yet-tombstoned range is
@@ -500,9 +508,24 @@ final class ChangeJournal(
   private def commitManifest(
       added: Seq[JsonNode], next: Map[Int, Long], batchId: Long,
       schema: org.apache.spark.sql.types.StructType,
+      plannedVersion: Long,
       removed: Seq[String] = Nil): Unit = {
     val prev = io.readSnapshot()
-    val version = prev.map(_.get("version").asLong + 1).getOrElse(0L)
+    // Early coherence check (same shape as LakeTable.commit): the caller's
+    // plan — resume offsets, merged schema, the live-file partition — is
+    // only valid against plannedVersion; a foreign commit landing mid-batch
+    // makes it stale. Fail LOUDLY before writing anything; the exclusive
+    // manifest claim and the pointer CAS below close the remaining windows.
+    val current = prev.map(_.get("version").asLong).getOrElse(-1L)
+    if (current != plannedVersion) {
+      val who = prev.flatMap(s => Option(s.get("appId")).map(_.asText))
+        .getOrElse("?")
+      throw new ConcurrentCommitException(
+        s"journal $root advanced while this batch was planned/written: " +
+          s"planned against version $plannedVersion, found $current " +
+          s"(appId=$who); this batch did NOT commit — re-read and retry")
+    }
+    val version = plannedVersion + 1
     val prevCkpt = prev.map { _ =>
       val pm = manifest().get
       Option(pm.get("checkpointVersion")).map(_.asLong)
@@ -530,14 +553,14 @@ final class ChangeJournal(
       val ra = m.putArray("removed")
       removed.foreach(ra.add)
     }
+    // exclusive claim + CAS, exactly the lake's commit discipline (see
+    // LakeTable.commit): a raced loser must never overwrite the winner's
+    // version-named manifest, and a crashed claimer's commit rolls forward
     val manifestRel = f"manifest-$version%012d.json"
-    io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
-    val snap = Json.obj()
-    snap.put("version", version)
-    snap.put("manifest", manifestRel)
-    snap.put("batchId", batchId)
-    snap.put("appId", appId)
-    io.swapSnapshot(Json.write(snap), version - 1)
+    if (!io.createVersioned(new Path(io.rootPath, manifestRel), Json.write(m)))
+      io.resolveLostVersionClaim(manifestRel, version, plannedVersion)
+    io.swapSnapshot(
+      io.snapshotJson(version, manifestRel, batchId, appId), version - 1)
     filesCache = Some((version, resolved))
     manifestCache = Some((version, m))
   }

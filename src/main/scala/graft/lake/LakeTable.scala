@@ -301,6 +301,12 @@ final class LakeTable(
     */
   def merge(batch: DataFrame, batchId: Long): Long = {
     if (isReplay(batchId)) return -1L // epoch fence: replayed batch
+    // CAS baseline = the version this batch PLANS against (watermark gate,
+    // state read, schema ladder all derive from it below). Baselining any
+    // later — e.g. a fresh read inside commit() — would let a concurrent
+    // writer's commit land mid-merge and be silently clobbered by a plan
+    // that never saw it; pinning here makes the CAS guard the WHOLE batch.
+    val plannedVersion = currentVersion
     val timing = sys.env.contains("GRAFT_TIMING")
     var tMark = System.nanoTime()
     def mark(tag: String): Unit = {
@@ -418,7 +424,8 @@ final class LakeTable(
       }
     mark("stats")
     if (touched.isEmpty) {
-      commit(Delta(Nil, Nil), wm, newSchemas, batchId, Nil, sb)
+      commit(Delta(Nil, Nil), wm, newSchemas, batchId, Nil, sb,
+        plannedVersion)
       return 0L
     }
     // the partitions this batch touches — bounded by the topic's partition
@@ -473,9 +480,10 @@ final class LakeTable(
     // back loudly rather than degrade quietly.
     val maxObservePartitions = sys.props.get("graft.merge.observe.maxPartitions")
       .map { v =>
-        require(scala.util.Try(v.toInt).isSuccess,
-          s"graft.merge.observe.maxPartitions must be an integer, got '$v'")
-        v.toInt
+        try v.toInt catch {
+          case e: NumberFormatException => throw new IllegalArgumentException(
+            s"graft.merge.observe.maxPartitions must be an integer, got '$v'", e)
+        }
       }.getOrElse(1024)
     val observeViable = touchedParts.size <= maxObservePartitions
     if (statsMode == "observe" && !observeViable)
@@ -494,7 +502,9 @@ final class LakeTable(
     // fresh UUID name, so stranded entries would accumulate one per failed
     // attempt — the exact unbounded-residue mode MergeStats exists to
     // close). discard after a successful await is a harmless no-op.
-    val staging = new Path(io.rootPath, s"_staging/merge-$batchId")
+    // appId-namespaced: two writers legitimately race one root now (CAS
+    // commit), and their staging must never collide on a shared batchId
+    val staging = new Path(io.rootPath, s"_staging/merge-$appId-$batchId")
     try {
       io.fs.delete(staging, true)
       val newShaped = obs.fold(shape(withSub)) { name =>
@@ -635,14 +645,19 @@ final class LakeTable(
       val srcDir = new Path(staging, s"_pp=$p/_ss=$s")
       if (!io.fs.exists(srcDir)) None // bucket emptied by deletes
       else {
-        val rel = f"data/part-$p%05d-s$s%04d-b$batchId%012d.parquet"
+        // deterministic per (writer, batch): a RETRY of this writer's batch
+        // overwrites its own names (the reference's offset-keyed dedup
+        // story), while a concurrent writer sharing a batchId — legal now
+        // that commits are CAS'd — can never overwrite this writer's
+        // promoted files out from under its committed manifest
+        val rel = f"data/part-$p%05d-s$s%04d-$appId-b$batchId%012d.parquet"
         val dest = new Path(io.rootPath, rel)
         io.promoteSingleFile(srcDir, dest)
         Some(FileEntry(p, s, rel, schemaId, io.parquetRowCount(dest)))
       }
     }.flatten
     io.fs.delete(staging, true)
-    io.fs.delete(new Path(io.rootPath, "_staging"), true)
+    io.sweepStaleStaging() // crashed peers' leftovers only, never in-flight
     mark("promote")
 
     val newWm = wm ++ statRows.map { case (p, maxOff, _, _, _) => p -> maxOff }
@@ -650,7 +665,7 @@ final class LakeTable(
       graft.model.LineageRow(batchId, p, minOff, maxOff, n, nUp, n - nUp, appId)
     }
     commit(Delta(touched.toSeq.sorted, newEntries), newWm, newSchemas, batchId,
-      lineage, sb)
+      lineage, sb, plannedVersion)
     mark("commit")
     // superseded files stay on disk unreferenced (GC-able), exactly like the
     // reference's orphaned uploads after a crash (SURVEY.md §4)
@@ -677,6 +692,7 @@ final class LakeTable(
     * Run between batches (same single-writer discipline as compact/vacuum).
     */
   def dropColumn(name: String): Unit = {
+    val plannedVersion = currentVersion // CAS baseline: the ladder read next
     val ss = schemas()
     require(ss.nonEmpty, s"cannot drop '$name': empty lake table at $root")
     val cur = ss.last
@@ -691,7 +707,7 @@ final class LakeTable(
     // same empty-delta commit shape as a no-row merge: live files, batch
     // fence, and watermarks all carry over; only the ladder grows
     commit(Delta(Nil, Nil), watermarks(), ss :+ next, lastBatchId, Nil,
-      layoutSubBuckets)
+      layoutSubBuckets, plannedVersion)
   }
 
   /** How a commit changes the live-file set. `Full` replaces it wholesale
@@ -793,9 +809,25 @@ final class LakeTable(
 
   private def commit(change: CommitChange, wm: Map[Int, Long],
       schemaVersions: IndexedSeq[StructType], batchId: Long,
-      lineage: Seq[graft.model.LineageRow], sub: Int): Unit = {
+      lineage: Seq[graft.model.LineageRow], sub: Int,
+      plannedVersion: Long): Unit = {
     val prev = io.readSnapshot()
-    val version = prev.map(_.get("version").asLong + 1).getOrElse(0L)
+    // Early coherence check: the caller's plan (state read, watermark gate,
+    // schema ladder, staged data files) is only valid against
+    // plannedVersion. A foreign commit that landed mid-batch makes the plan
+    // stale — fail LOUDLY here, before an unreferenced manifest is even
+    // written; the final CAS below (expected = plannedVersion) closes the
+    // remaining window between this check and the pointer swap.
+    val current = prev.map(_.get("version").asLong).getOrElse(-1L)
+    if (current != plannedVersion) {
+      val who = prev.flatMap(s => Option(s.get("appId")).map(_.asText))
+        .getOrElse("?")
+      throw new ConcurrentCommitException(
+        s"table $root advanced while this batch was planned/written: " +
+          s"planned against version $plannedVersion, found $current " +
+          s"(appId=$who); this batch did NOT commit — re-read and retry")
+    }
+    val version = plannedVersion + 1
     // nearest checkpoint at or below the previous version (advisory — the
     // reader walks back to the first actual full manifest; this only drives
     // the cadence decision, and a vacuum-materialized checkpoint in between
@@ -873,19 +905,22 @@ final class LakeTable(
       n.put("numDeletes", l.numDeletes); n.put("appId", l.appId)
       la.add(n)
     }
-    val manifestRel = f"manifest-$version%012d.json"
-    io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
     // re-verify shard reuse against a concurrent vacuum's GC, as late as
-    // possible before the pointer moves (the manifest file is still
-    // unreferenced here, so rewriting it is invisible to readers)
-    if (verifyShards(m, version, resolved))
-      io.writeString(new Path(io.rootPath, manifestRel), Json.write(m))
-    val snap = Json.obj()
-    snap.put("version", version)
-    snap.put("manifest", manifestRel)
-    snap.put("batchId", batchId)
-    snap.put("appId", appId)
-    io.swapSnapshot(Json.write(snap), version - 1)
+    // possible before the pointer moves (mutates `m` in place; the manifest
+    // file does not exist yet, so this is invisible to readers)
+    verifyShards(m, version, resolved): Unit
+    // the version-named manifest is an EXCLUSIVE claim, not an overwrite: a
+    // raced loser writing plainly here would corrupt the winner's
+    // already-referenced manifest even though its own pointer swap then
+    // fails loudly — the one silent-clobber window the snapshot CAS alone
+    // cannot close. Losing the claim resolves via roll-forward (a crashed
+    // claimer's durable commit is published, never wedged on) and always
+    // throws ConcurrentCommitException.
+    val manifestRel = f"manifest-$version%012d.json"
+    if (!io.createVersioned(new Path(io.rootPath, manifestRel), Json.write(m)))
+      io.resolveLostVersionClaim(manifestRel, version, plannedVersion)
+    io.swapSnapshot(
+      io.snapshotJson(version, manifestRel, batchId, appId), version - 1)
     filesCache = Some((version, resolved))
     manifestCache = Some((version, m))
   }
@@ -1082,11 +1117,12 @@ final class LakeTable(
     */
   def compact(newSubBuckets: Int): Unit = {
     require(newSubBuckets >= 1)
+    val plannedVersion = currentVersion // CAS baseline: `m` is its manifest
     val m = manifest().getOrElse(
       throw new IllegalStateException(s"cannot compact empty table at $root"))
     val ss = schemasOf(m)
-    val version = currentVersion + 1
-    val staging = new Path(io.rootPath, s"_staging/compact-$version")
+    val version = plannedVersion + 1
+    val staging = new Path(io.rootPath, s"_staging/compact-$appId-$version")
     io.fs.delete(staging, true)
     readFiles(filesOf(m), ss)
       .withColumn("_sub", subExpr(newSubBuckets))
@@ -1104,14 +1140,15 @@ final class LakeTable(
     } yield {
       val p = pDir.getPath.getName.stripPrefix("_pp=").toInt
       val sub = sDir.getPath.getName.stripPrefix("_ss=").toInt
-      val rel = f"data/part-$p%05d-s$sub%04d-c$version%012d.parquet"
+      val rel = f"data/part-$p%05d-s$sub%04d-$appId-c$version%012d.parquet"
       val dest = new Path(io.rootPath, rel)
       io.promoteSingleFile(sDir.getPath, dest)
       FileEntry(p, sub, rel, ss.size - 1, io.parquetRowCount(dest))
     }).sortBy(f => (f.partition, f.sub))
     io.fs.delete(staging, true)
-    io.fs.delete(new Path(io.rootPath, "_staging"), true)
-    commit(Full(entries), watermarks(), ss, lastBatchId, Nil, newSubBuckets)
+    io.sweepStaleStaging()
+    commit(Full(entries), watermarks(), ss, lastBatchId, Nil, newSubBuckets,
+      plannedVersion)
   }
 
   /** Re-bucket by the measured sizing rule instead of a hand-picked count:

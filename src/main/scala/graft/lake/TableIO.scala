@@ -78,6 +78,19 @@ trait CommitStore {
     * one's own completed swap is success, not a lost race.
     */
   def putIfVersion(io: TableIO, dest: Path, content: String, expected: Long): Boolean
+
+  /** Exclusive create: materialize `content` at `dest` ONLY if nothing
+    * exists there, atomically against the store's own concurrent callers —
+    * If-None-Match on an object store, no-overwrite rename on HDFS. Returns
+    * false when `dest` already exists (some writer — possibly a crashed
+    * one — claimed the name first). This is the claim primitive for
+    * version-NAMED meta files (`manifest-v{N}`): [[putIfVersion]] guards
+    * the pointer, but the pointer CAS alone cannot stop a raced loser from
+    * overwriting the WINNER'S version-named file before its own swap fails
+    * — the file write itself must be exclusive (Delta's LogStore
+    * `putIfAbsent` is this exact primitive).
+    */
+  def putIfAbsent(io: TableIO, dest: Path, content: String): Boolean
 }
 
 /** Default store: single rename-with-OVERWRITE, atomic on HDFS and local
@@ -117,6 +130,36 @@ object RenameCommitStore extends CommitStore {
   private val casLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** Exclusive create: complete tmp + no-overwrite rename (same primitive
+    * as the CAS markers below — atomic on HDFS, JVM-lock-backstopped on a
+    * raw local fs). A crash mid-write leaves only an unreferenced tmp, so
+    * an existing `dest` is always COMPLETE — the invariant the orphan
+    * roll-forward in [[TableIO.resolveLostVersionClaim]] relies on.
+    */
+  def putIfAbsent(io: TableIO, dest: Path, content: String): Boolean = {
+    val q = io.fs.makeQualified(dest).toString
+    val lock = casLocks.computeIfAbsent(q, _ => new Object)
+    lock.synchronized {
+      if (io.fs.exists(dest)) return false
+      val tmp = new Path(dest.getParent, dest.getName +
+        s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
+      try {
+        io.writeString(tmp, content)
+        io.renameNoOverwrite(tmp, dest)
+        true
+      } catch {
+        case _: org.apache.hadoop.fs.FileAlreadyExistsException =>
+          try io.fs.delete(tmp, false): Unit
+          catch { case _: Throwable => () }
+          false // a cross-process writer claimed the name first
+        case t: Throwable =>
+          try io.fs.delete(tmp, false): Unit
+          catch { case _: Throwable => () }
+          throw t
+      }
+    }
+  }
+
   /** CAS via version-named claim markers + roll-forward.
     *
     * Claiming version v = expected+1 is a rename WITHOUT overwrite of a
@@ -148,13 +191,27 @@ object RenameCommitStore extends CommitStore {
           io.fs.listStatus(casDir).toSeq.map(_.getPath)
             .flatMap(p => markerVersion(p).map(p -> _))
         else Nil
-      var cur =
+      def destVersion(): Long =
         if (io.fs.exists(dest))
           Json.parse(io.readString(dest)).get("version").asLong
         else -1L
+      // Publish `content` (version v) only if dest is still BEHIND v,
+      // re-reading immediately before the PUT: in-JVM callers are
+      // serialized by casLocks, but a peer PROCESS may have published a
+      // newer version since our listing — an unconditional PUT here could
+      // move the pointer BACKWARD (violating the snapshot-only-moves-
+      // forward contract readers rely on). The re-read shrinks that TOCTOU
+      // window to the read→PUT gap; a regression that still slips through
+      // self-heals on the next putIfVersion (the newer marker outlives its
+      // publish until the version after it commits). True cross-process
+      // serialization needs a store-level conditional PUT — exactly what
+      // an object-store CommitStore supplies.
+      def publishIfBehind(v: Long, c: String): Unit =
+        if (destVersion() < v) putAtomic(io, dest, c)
+      var cur = destVersion()
       // roll forward the highest committed-but-unpublished marker
       markers.filter(_._2 > cur).sortBy(_._2).lastOption.foreach {
-        case (p, v) => putAtomic(io, dest, io.readString(p)); cur = v
+        case (p, v) => publishIfBehind(v, io.readString(p)); cur = v
       }
       if (cur == expected + 1 && io.readString(dest) == content)
         return true // idempotent retry of our own completed publish
@@ -176,7 +233,10 @@ object RenameCommitStore extends CommitStore {
           catch { case _: Throwable => () }
           throw t
       }
-      putAtomic(io, dest, content)
+      // our marker IS the commit point; the pointer publish is conditional
+      // too (a peer that rolled our marker forward and committed v+1 must
+      // not be regressed by our own delayed PUT)
+      publishIfBehind(v, content)
       markers.filter(_._2 <= expected).foreach { case (p, _) =>
         try io.fs.delete(p, false): Unit catch { case _: Throwable => () }
       }
@@ -253,7 +313,7 @@ final class TableIO(val root: String, spark: SparkSession,
     * exclusive-claim primitive for [[RenameCommitStore.putIfVersion]]
     * (atomic on HDFS; see the casLocks note for local fs).
     */
-  private[lake] def renameNoOverwrite(src: Path, dest: Path): Unit =
+  private[graft] def renameNoOverwrite(src: Path, dest: Path): Unit =
     fc.rename(fs.makeQualified(src), fs.makeQualified(dest),
       org.apache.hadoop.fs.Options.Rename.NONE)
 
@@ -301,6 +361,74 @@ final class TableIO(val root: String, spark: SparkSession,
   def readSnapshot(): Option[com.fasterxml.jackson.databind.JsonNode] =
     if (fs.exists(snapshotPath)) Some(Json.parse(readString(snapshotPath))) else None
 
+  /** The snapshot pointer's canonical serialization. ONE builder for every
+    * producer (lake commit, journal commit, orphan roll-forward): the CAS
+    * idempotency contract compares CONTENT byte-for-byte, so a roll-forward
+    * that publishes on a live claimer's behalf must produce exactly the
+    * bytes that claimer's own retry will present.
+    */
+  def snapshotJson(version: Long, manifestRel: String, batchId: Long,
+      appId: String): String = {
+    val snap = Json.obj()
+    snap.put("version", version)
+    snap.put("manifest", manifestRel)
+    snap.put("batchId", batchId)
+    snap.put("appId", appId)
+    Json.write(snap)
+  }
+
+  /** Exclusively claim the version-named meta file `dest` (manifest). True
+    * = ours (including the idempotent retry of an own completed create);
+    * false = another writer holds the name — resolve with
+    * [[resolveLostVersionClaim]]. The pointer CAS ([[swapSnapshot]]) alone
+    * cannot give this safety: a loser that wrote `manifest-v{N}` with a
+    * plain overwrite before failing its swap would CORRUPT the winner's
+    * already-published commit, since the winner's snapshot references that
+    * very name.
+    */
+  def createVersioned(dest: Path, content: String): Boolean =
+    retry("createVersioned") {
+      store.putIfAbsent(this, dest, content) ||
+        // a transient failure AFTER our create succeeded retries into
+        // "already exists" — identical content means it is ours
+        (fs.exists(dest) && readString(dest) == content)
+    }
+
+  /** A version-named manifest claim was lost: either a concurrent writer
+    * committed this version, or a writer CRASHED between creating its
+    * manifest and swapping the pointer. Disambiguate by the pointer: if it
+    * already advanced past `plannedVersion`, simply lose; if it still reads
+    * `plannedVersion`, the existing manifest is a complete crashed commit
+    * (exclusive creates are all-or-nothing, and every caller promotes data
+    * files BEFORE committing) — ROLL IT FORWARD so the table never wedges
+    * on a dead writer's claim. Either way this writer's batch did not
+    * commit: always throws [[ConcurrentCommitException]].
+    */
+  def resolveLostVersionClaim(manifestRel: String, version: Long,
+      plannedVersion: Long): Nothing = {
+    val cur = readSnapshot()
+    val curV = cur.map(_.get("version").asLong).getOrElse(-1L)
+    if (curV == plannedVersion) {
+      val m = Json.parse(readString(new Path(rootPath, manifestRel)))
+      val who = Option(m.get("appId")).map(_.asText).getOrElse("?")
+      try {
+        swapSnapshot(snapshotJson(version, manifestRel,
+          m.get("batchId").asLong, who), plannedVersion)
+        System.err.println(s"[graft] WARN: rolled forward crashed writer " +
+          s"$who's committed-but-unpublished version $version at $root")
+      } catch {
+        // the claimer was alive after all and swapped first — same outcome
+        case _: ConcurrentCommitException => ()
+      }
+    }
+    val who = readSnapshot()
+      .flatMap(s => Option(s.get("appId")).map(_.asText)).getOrElse("?")
+    throw new ConcurrentCommitException(
+      s"lost the claim on $manifestRel at $root: another writer " +
+        s"(appId=$who) holds version $version; this batch did NOT commit " +
+        "— re-read the table state before retrying")
+  }
+
   def delete(rel: String): Unit = fs.delete(new Path(rootPath, rel), true)
 
   def exists(rel: String): Boolean = fs.exists(new Path(rootPath, rel))
@@ -322,6 +450,23 @@ final class TableIO(val root: String, spark: SparkSession,
         s"expected exactly one part file in $srcDir, got ${parts.length}")
       fs.mkdirs(dest.getParent)
       store.publishFile(this, parts.head.getPath, dest)
+    }
+  }
+
+  /** Opportunistic reclamation of ABANDONED staging (crashed writers'
+    * leftovers under `_staging/`): only entries past the grace window — a
+    * live peer's in-flight staging is always younger than its own batch.
+    * Replaces the old wholesale `_staging` delete, which was safe only
+    * under single-writer exclusivity (it would nuke a concurrent writer's
+    * in-flight promote sources mid-batch).
+    */
+  def sweepStaleStaging(graceMs: Long = 24L * 3600 * 1000): Unit = {
+    val dir = new Path(rootPath, "_staging")
+    if (!fs.exists(dir)) return
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(dir).foreach { st =>
+      if (st.getModificationTime < cutoff)
+        try fs.delete(st.getPath, true): Unit catch { case _: Throwable => () }
     }
   }
 

@@ -89,6 +89,19 @@ final class CdcPipeline(
   // runs batches serially); reset on the first cadence hit that converges
   private var maintenanceFailures = 0
 
+  private def defer(batchId: Long, e: Throwable): Unit = {
+    maintenanceFailures += 1
+    if (maintenanceFailures >= CdcPipeline.maxMaintenanceFailures)
+      throw new IllegalStateException(
+        s"retention maintenance failed $maintenanceFailures " +
+          "consecutive cadence hits — not transient; failing the " +
+          "stream rather than leaking history unbounded", e)
+    System.err.println(s"[graft] WARN: retention maintenance failed " +
+      s"after batch $batchId ($maintenanceFailures consecutive; " +
+      s"escalates at ${CdcPipeline.maxMaintenanceFailures}; will " +
+      s"retry at the next cadence hit): $e")
+  }
+
   /** Apply one micro-batch (the foreachBatch body). Idempotent per batchId.
     *
     * Journal append and lake merge are independent dataflows over the same
@@ -144,27 +157,23 @@ final class CdcPipeline(
             lake.vacuum(r.vacuumKeepLast, r.orphanGraceMs): Unit
           maintenanceFailures = 0
         } catch {
-          // Only transient-IO-shaped failures defer: an invariant violation
+          // Only transient-shaped failures defer: an invariant violation
           // (require / IllegalState from truncate or vacuum — a broken
           // manifest chain, corrupt metadata) would fail IDENTICALLY every
           // cadence hit forever while the stream quietly never cleans up,
-          // so it escalates immediately. Repeated "transient" failures are
-          // transient in name only — after N consecutive cadence hits the
-          // defer-and-retry contract has demonstrably not converged and
-          // the stream fails loudly rather than leak history unbounded.
+          // so it escalates immediately. A LOST CAS is the one
+          // IllegalStateException that is NOT invariant-shaped: its own
+          // contract is "re-read and retry", and the next cadence hit does
+          // exactly that — so it defers (but still counts: losing every
+          // cadence hit means a misconfigured second writer, which should
+          // surface). Repeated "transient" failures are transient in name
+          // only — after N consecutive cadence hits the defer-and-retry
+          // contract has demonstrably not converged and the stream fails
+          // loudly rather than leak history unbounded.
+          case e: graft.lake.ConcurrentCommitException => defer(batchId, e)
           case e: IllegalStateException => throw e
           case e: IllegalArgumentException => throw e
-          case scala.util.control.NonFatal(e) =>
-            maintenanceFailures += 1
-            if (maintenanceFailures >= CdcPipeline.maxMaintenanceFailures)
-              throw new IllegalStateException(
-                s"retention maintenance failed $maintenanceFailures " +
-                  "consecutive cadence hits — not transient; failing the " +
-                  "stream rather than leaking history unbounded", e)
-            System.err.println(s"[graft] WARN: retention maintenance failed " +
-              s"after batch $batchId ($maintenanceFailures consecutive; " +
-              s"escalates at ${CdcPipeline.maxMaintenanceFailures}; will " +
-              s"retry at the next cadence hit): $e")
+          case scala.util.control.NonFatal(e) => defer(batchId, e)
         }
       }
     }

@@ -225,6 +225,15 @@ class ReliabilitySpec extends AnyFunSuite {
       else if (cur != expected) false
       else { putAtomic(io, dest, content); true }
     }
+
+    /** If-None-Match conditional PUT — the server serializes the existence
+      * check with the PUT, which the lock stands in for.
+      */
+    def putIfAbsent(io: TableIO, dest: Path, content: String): Boolean =
+      casLock.synchronized {
+        if (io.fs.exists(dest)) false
+        else { putAtomic(io, dest, content); true }
+      }
   }
 
   test("the full commit protocol runs on S3 semantics (no atomic rename)") {
@@ -287,9 +296,13 @@ class ReliabilitySpec extends AnyFunSuite {
   // with ConcurrentCommitException and committed nothing.
 
   /** Deterministic interleave: writer A is paused at its snapshot swap (the
-    * faultHook fires before each swap attempt) while writer B commits the
-    * same version underneath it. A must lose loudly; a fresh A merge then
-    * succeeds against the new version.
+    * faultHook fires before each swap attempt) while writer B attempts the
+    * same version underneath it. A already holds the EXCLUSIVE claim on the
+    * version's manifest (the claim is taken at manifest create, before the
+    * swap), so B loses loudly — and B's loss rolls the paused A forward: a
+    * live claimer at this point is indistinguishable from a crashed one,
+    * and publishing its complete commit is correct either way (A's own swap
+    * then reads as idempotent success). B's retry wins the next version.
     */
   private def raceLoserFailsLoudly(store: Option[graft.lake.CommitStore],
       tag: String): Unit = {
@@ -301,39 +314,40 @@ class ReliabilitySpec extends AnyFunSuite {
     }
     val a = mk("writer-a")
     val b = mk("writer-b")
-    // A's offsets sit ABOVE B's: after losing the race, A's retry must pass
-    // the watermarks B committed (sub-watermark offsets are redelivery by
+    // B's offsets sit ABOVE A's: after losing the race, B's retry must pass
+    // the watermarks A committed (sub-watermark offsets are redelivery by
     // contract and would be deduped away, which is not what this tests)
     val batchA = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
-      seed = 1, startOffset = 5000L)
+      seed = 1)
     val batchB = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
-      seed = 2)
+      seed = 2, startOffset = 5000L)
     val interleaved = new java.util.concurrent.atomic.AtomicBoolean(false)
-    val e = intercept[graft.lake.ConcurrentCommitException] {
-      withFault { t =>
-        // B's own merge fires this hook too — the guard lets it through
-        if (t == "swapSnapshot" && interleaved.compareAndSet(false, true))
+    @volatile var bLoss: Option[graft.lake.ConcurrentCommitException] = None
+    withFault { t =>
+      if (t == "swapSnapshot" && interleaved.compareAndSet(false, true))
+        bLoss = Some(intercept[graft.lake.ConcurrentCommitException] {
           b.merge(batchB, 0L)
-      } {
-        a.merge(batchA, 0L)
-      }
+        })
+    } {
+      a.merge(batchA, 0L)
     }
     assert(interleaved.get(), "the interleave must actually have happened")
-    assert(e.getMessage.contains("writer-b"),
-      s"the loser's error must name the winner: ${e.getMessage}")
-    // B's commit is intact — never clobbered by the loser
-    assert(b.lastBatchId === 0L)
-    val want = ChangeGen.oracleFinalState(batchB)
+    assert(bLoss.get.getMessage.contains("writer-a"),
+      s"the loser's error must name the winner: ${bLoss.get.getMessage}")
+    // A's commit is intact — published exactly once (by B's roll-forward,
+    // then A's own swap reading as its idempotent success)
+    assert(a.lastBatchId === 0L)
+    val want = ChangeGen.oracleFinalState(batchA)
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
-    val got0 = b.read()
+    val got0 = a.read()
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
     assert(got0.exceptAll(want).isEmpty && want.exceptAll(got0).isEmpty)
     // the loser re-reads and retries against the NEW version: now it wins
-    // (different appId, so B's fence does not eat A's batch 0)
-    a.merge(batchA, 0L)
-    val wantBoth = ChangeGen.oracleFinalState(batchB.unionAll(batchA))
+    // (different appId, so A's fence does not eat B's batch 0)
+    b.merge(batchB, 0L)
+    val wantBoth = ChangeGen.oracleFinalState(batchA.unionAll(batchB))
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
-    val got1 = a.read()
+    val got1 = b.read()
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
     assert(got1.exceptAll(wantBoth).isEmpty && wantBoth.exceptAll(got1).isEmpty)
   }
@@ -393,5 +407,158 @@ class ReliabilitySpec extends AnyFunSuite {
     // and the table moves on: version 2 commits normally
     assert(store.putIfVersion(io, io.snapshotPath,
       """{"version":2,"appId":"w2"}""", 1L))
+  }
+
+  test("putIfAbsent: a second process's claim of a held name fails, content intact") {
+    // The in-JVM race tests above serialize on casLocks, so they never
+    // exercise the cross-process claim path. Here the second claim comes
+    // through a SEPARATE TableIO (a second process's handle) with the lock
+    // uncontended — the primitive's own exists→fail branch must carry the
+    // exclusivity, for both stores.
+    for ((store, tag) <- Seq(
+        (graft.lake.RenameCommitStore: graft.lake.CommitStore, "rename"),
+        (new SimulatedObjectStore: graft.lake.CommitStore, "s3"))) {
+      val root = SparkTestSession.tempDir(s"claim-$tag")
+      val io1 = new TableIO(root, spark, store)
+      val io2 = new TableIO(root, spark, store)
+      val dest = new Path(io1.rootPath, "manifest-000000000001.json")
+      assert(io1.createVersioned(dest, """{"owner":"p1"}"""), s"[$tag]")
+      assert(!store.putIfAbsent(io2, dest, """{"owner":"p2"}"""), s"[$tag]")
+      assert(io2.readString(dest) === """{"owner":"p1"}""",
+        s"[$tag] a lost claim must never touch the winner's bytes")
+      // idempotent retry of the OWN completed create reads as success
+      assert(io1.createVersioned(dest, """{"owner":"p1"}"""), s"[$tag]")
+    }
+    // and the raw rename primitive itself refuses an existing destination
+    val io = new TableIO(SparkTestSession.tempDir("claim-raw"), spark)
+    val d = new Path(io.rootPath, "claimed")
+    io.writeString(d, "first")
+    val tmp = new Path(io.rootPath, "tmp")
+    io.writeString(tmp, "second")
+    intercept[org.apache.hadoop.fs.FileAlreadyExistsException] {
+      io.renameNoOverwrite(tmp, d)
+    }
+    assert(io.readString(d) === "first")
+  }
+
+  test("a commit landing MID-MERGE fails the stale plan loudly, before any write") {
+    // Not the at-the-swap race (covered above): writer B commits while A is
+    // still WRITING — after A's plan (state read, watermark gate, schema
+    // ladder) but before A's commit(). A's plan is stale; committing it
+    // would resolve A's Delta against state that never saw B's rows. The
+    // plan-time CAS baseline must catch this at the door of commit().
+    val root = SparkTestSession.tempDir("midmerge")
+    val a = new LakeTable(root, spark, subBuckets = 2, appId = "writer-a")
+    val b = new LakeTable(root, spark, subBuckets = 2, appId = "writer-b")
+    val batchA = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 1, startOffset = 5000L)
+    val batchB = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 2)
+    val interleaved = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[graft.lake.ConcurrentCommitException] {
+      withFault { t =>
+        // A's first data-file promote = A is mid-write, plan long since
+        // frozen; B commits underneath (B's own promotes re-fire this hook
+        // — the guard lets them through)
+        if (t == "promote" && interleaved.compareAndSet(false, true))
+          b.merge(batchB, 0L)
+      } {
+        a.merge(batchA, 0L)
+      }
+    }
+    assert(interleaved.get(), "the interleave must actually have happened")
+    assert(e.getMessage.contains("advanced while this batch was planned"),
+      s"must fail the EARLY plan-coherence check, not the swap: ${e.getMessage}")
+    // B intact, and only B: A must not have claimed any manifest name
+    assert(b.lastBatchId === 0L)
+    val want = ChangeGen.oracleFinalState(batchB)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got0 = b.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got0.exceptAll(want).isEmpty && want.exceptAll(got0).isEmpty)
+    // the loser re-plans and wins
+    a.merge(batchA, 0L)
+    val wantBoth = ChangeGen.oracleFinalState(batchB.unionAll(batchA))
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got1 = a.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got1.exceptAll(wantBoth).isEmpty && wantBoth.exceptAll(got1).isEmpty)
+  }
+
+  test("raced manifest claim: the loser never overwrites the winner's manifest") {
+    // The narrowest window: B commits AFTER A passed the plan-coherence
+    // check, while A is about to create its version-named manifest. Before
+    // the exclusive claim, A's plain write would CORRUPT B's
+    // already-published manifest (B's snapshot references that very name)
+    // even though A's own swap then failed loudly.
+    val root = SparkTestSession.tempDir("manifestrace")
+    val a = new LakeTable(root, spark, subBuckets = 2, appId = "writer-a")
+    val b = new LakeTable(root, spark, subBuckets = 2, appId = "writer-b")
+    val batchA = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 1, startOffset = 5000L)
+    val batchB = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 2)
+    val interleaved = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val e = intercept[graft.lake.ConcurrentCommitException] {
+      withFault { t =>
+        if (t == "createVersioned" && interleaved.compareAndSet(false, true))
+          b.merge(batchB, 0L)
+      } {
+        a.merge(batchA, 0L)
+      }
+    }
+    assert(interleaved.get(), "the interleave must actually have happened")
+    assert(e.getMessage.contains("lost the claim") &&
+      e.getMessage.contains("writer-b"), e.getMessage)
+    // THE assertion: the raced version's manifest still carries B's commit
+    val io = new TableIO(root, spark)
+    val m = graft.lake.Json.parse(
+      io.readString(new Path(io.rootPath, "manifest-000000000000.json")))
+    assert(m.get("appId").asText === "writer-b",
+      "the raced loser overwrote the winner's version-named manifest")
+    val want = ChangeGen.oracleFinalState(batchB)
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got = b.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+  }
+
+  test("a writer crashed between manifest create and swap rolls forward, never wedges") {
+    // A dies AFTER its exclusive manifest claim but BEFORE the pointer CAS
+    // (its data files are durable — promotes precede commit). The claimed
+    // name would block every later writer's create forever; instead the
+    // loser ROLLS the complete orphan forward — A's commit is published,
+    // the thrower re-plans on top. No committed work lost, no wedged table.
+    val root = SparkTestSession.tempDir("rollfwd")
+    val a = new LakeTable(root, spark, subBuckets = 2, appId = "writer-a")
+    val b = new LakeTable(root, spark, subBuckets = 2, appId = "writer-b")
+    val batchA = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 1)
+    val batchB = ChangeGen.changes(spark, 150, nKeys = 25, partitions = 2,
+      seed = 2, startOffset = 5000L)
+    final class Died extends RuntimeException("simulated death before swap")
+    intercept[Died] {
+      withFault { t => if (t == "swapSnapshot") throw new Died } {
+        a.merge(batchA, 0L)
+      }
+    }
+    // A's claim is durable but unpublished
+    val io = new TableIO(root, spark)
+    assert(io.exists("manifest-000000000000.json"))
+    assert(io.readSnapshot().isEmpty, "the crash precedes the first publish")
+    // B plans against the EMPTY table, loses the claim, rolls A forward
+    val e = intercept[graft.lake.ConcurrentCommitException] {
+      b.merge(batchB, 0L)
+    }
+    assert(e.getMessage.contains("writer-a"), e.getMessage)
+    assert(a.lastBatchId === 0L && a.currentVersion === 0L,
+      "the crashed writer's commit must have been rolled forward")
+    // B's retry re-plans against A's rolled-forward version and wins
+    b.merge(batchB, 0L)
+    val wantBoth = ChangeGen.oracleFinalState(batchA.unionAll(batchB))
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    val got = b.read()
+      .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got.exceptAll(wantBoth).isEmpty && wantBoth.exceptAll(got).isEmpty)
   }
 }
