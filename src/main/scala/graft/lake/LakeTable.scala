@@ -779,7 +779,11 @@ final class LakeTable(
   private def writeFreshShard(version: Long, fs: Seq[FileEntry]): String = {
     val p = fs.head.partition
     val g = fs.head.sub / shardGroupSize
-    val r = f"shards/p$p%05d-g$g%04d-v$version%012d.json"
+    // appId-qualified like the data files: a raced loser writing shards for
+    // the same version must never overwrite the winner's published ones
+    // (readers resolve shards by the NAME RECORDED in the manifest, so the
+    // qualifier is free; reuse carries recorded names across writers)
+    val r = f"shards/p$p%05d-g$g%04d-$appId-v$version%012d.json"
     val arr = Json.arr()
     fs.sortBy(_.sub).foreach(f => arr.add(fileEntryJson(f)): Unit)
     io.writeString(new Path(io.rootPath, r), Json.write(arr))

@@ -414,8 +414,9 @@ final class TableIO(val root: String, spark: SparkSession,
       try {
         swapSnapshot(snapshotJson(version, manifestRel,
           m.get("batchId").asLong, who), plannedVersion)
-        System.err.println(s"[graft] WARN: rolled forward crashed writer " +
-          s"$who's committed-but-unpublished version $version at $root")
+        System.err.println(s"[graft] WARN: rolled forward writer $who's " +
+          s"committed-but-unpublished version $version at $root (claimed " +
+          "but never swapped — a crash, or a live writer mid-publish)")
       } catch {
         // the claimer was alive after all and swapped first — same outcome
         case _: ConcurrentCommitException => ()
