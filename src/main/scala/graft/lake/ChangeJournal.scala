@@ -234,7 +234,12 @@ final class ChangeJournal(
     val newFiles = byPartition.toSeq.sortBy(_._1).map { case (p, chunks) =>
       val sorted = chunks.sortBy(_.getLong(1))
       val firstOffset = sorted.map(_.getLong(2)).min
-      val rel = f"data/part-$p%05d-$firstOffset%012d.parquet"
+      // appId-qualified like the lake's data files: deterministic for THIS
+      // writer's retry (same name overwrites, the reference's offset-keyed
+      // dedup story) but never collidable with a raced peer, whose promote
+      // would otherwise overwrite a committed, manifest-referenced file
+      // before its own commit loses the CAS
+      val rel = f"data/part-$p%05d-$appId-$firstOffset%012d.parquet"
       io.promoteSingleFile(new Path(staging, s"_p=$p"), new Path(io.rootPath, rel))
       // The write evaluated the batch a second time (no persist): the
       // parquet footer must agree with the stats pass's row count, else the
@@ -510,21 +515,7 @@ final class ChangeJournal(
       schema: org.apache.spark.sql.types.StructType,
       plannedVersion: Long,
       removed: Seq[String] = Nil): Unit = {
-    val prev = io.readSnapshot()
-    // Early coherence check (same shape as LakeTable.commit): the caller's
-    // plan — resume offsets, merged schema, the live-file partition — is
-    // only valid against plannedVersion; a foreign commit landing mid-batch
-    // makes it stale. Fail LOUDLY before writing anything; the exclusive
-    // manifest claim and the pointer CAS below close the remaining windows.
-    val current = prev.map(_.get("version").asLong).getOrElse(-1L)
-    if (current != plannedVersion) {
-      val who = prev.flatMap(s => Option(s.get("appId")).map(_.asText))
-        .getOrElse("?")
-      throw new ConcurrentCommitException(
-        s"journal $root advanced while this batch was planned/written: " +
-          s"planned against version $plannedVersion, found $current " +
-          s"(appId=$who); this batch did NOT commit — re-read and retry")
-    }
+    val prev = io.requirePlanCoherent(plannedVersion, "journal")
     val version = plannedVersion + 1
     val prevCkpt = prev.map { _ =>
       val pm = manifest().get

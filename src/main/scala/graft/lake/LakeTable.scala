@@ -815,22 +815,7 @@ final class LakeTable(
       schemaVersions: IndexedSeq[StructType], batchId: Long,
       lineage: Seq[graft.model.LineageRow], sub: Int,
       plannedVersion: Long): Unit = {
-    val prev = io.readSnapshot()
-    // Early coherence check: the caller's plan (state read, watermark gate,
-    // schema ladder, staged data files) is only valid against
-    // plannedVersion. A foreign commit that landed mid-batch makes the plan
-    // stale — fail LOUDLY here, before an unreferenced manifest is even
-    // written; the final CAS below (expected = plannedVersion) closes the
-    // remaining window between this check and the pointer swap.
-    val current = prev.map(_.get("version").asLong).getOrElse(-1L)
-    if (current != plannedVersion) {
-      val who = prev.flatMap(s => Option(s.get("appId")).map(_.asText))
-        .getOrElse("?")
-      throw new ConcurrentCommitException(
-        s"table $root advanced while this batch was planned/written: " +
-          s"planned against version $plannedVersion, found $current " +
-          s"(appId=$who); this batch did NOT commit — re-read and retry")
-    }
+    val prev = io.requirePlanCoherent(plannedVersion, "table")
     val version = plannedVersion + 1
     // nearest checkpoint at or below the previous version (advisory — the
     // reader walks back to the first actual full manifest; this only drives

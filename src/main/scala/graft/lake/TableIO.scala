@@ -137,7 +137,12 @@ object RenameCommitStore extends CommitStore {
     * roll-forward in [[TableIO.resolveLostVersionClaim]] relies on.
     */
   def putIfAbsent(io: TableIO, dest: Path, content: String): Boolean = {
-    val q = io.fs.makeQualified(dest).toString
+    // lock key = the PARENT dir, not the (version-unique) dest: claims are
+    // one-per-commit, so per-dest interning would grow the JVM-singleton
+    // map by one dead entry per commit forever. Per-table serialization is
+    // exactly the putIfVersion granularity anyway (commits serialize on
+    // the one snapshot path).
+    val q = io.fs.makeQualified(dest.getParent).toString
     val lock = casLocks.computeIfAbsent(q, _ => new Object)
     lock.synchronized {
       if (io.fs.exists(dest)) return false
@@ -361,6 +366,30 @@ final class TableIO(val root: String, spark: SparkSession,
   def readSnapshot(): Option[com.fasterxml.jackson.databind.JsonNode] =
     if (fs.exists(snapshotPath)) Some(Json.parse(readString(snapshotPath))) else None
 
+  /** The plan-coherence guard at the door of every commit — ONE
+    * implementation for both tables (the protocol's most safety-critical
+    * check must never fork between copies). The caller's plan (state read,
+    * watermark gate, schema ladder, staged files) is valid only against
+    * `plannedVersion`; a foreign commit that landed mid-batch makes it
+    * stale — fail LOUDLY here, before anything is written. The exclusive
+    * manifest claim and the pointer CAS close the remaining windows.
+    * Returns the snapshot it judged, for the caller's own use.
+    */
+  def requirePlanCoherent(plannedVersion: Long, what: String)
+      : Option[com.fasterxml.jackson.databind.JsonNode] = {
+    val prev = readSnapshot()
+    val current = prev.map(_.get("version").asLong).getOrElse(-1L)
+    if (current != plannedVersion) {
+      val who = prev.flatMap(s => Option(s.get("appId")).map(_.asText))
+        .getOrElse("?")
+      throw new ConcurrentCommitException(
+        s"$what $root advanced while this batch was planned/written: " +
+          s"planned against version $plannedVersion, found $current " +
+          s"(appId=$who); this batch did NOT commit — re-read and retry")
+    }
+    prev
+  }
+
   /** The snapshot pointer's canonical serialization. ONE builder for every
     * producer (lake commit, journal commit, orphan roll-forward): the CAS
     * idempotency contract compares CONTENT byte-for-byte, so a roll-forward
@@ -460,8 +489,16 @@ final class TableIO(val root: String, spark: SparkSession,
     * Replaces the old wholesale `_staging` delete, which was safe only
     * under single-writer exclusivity (it would nuke a concurrent writer's
     * in-flight promote sources mid-batch).
+    *
+    * The default grace is 7 DAYS, deliberately far above the data-file
+    * orphan grace: the staging dir's top-level mtime is set at write START
+    * (nested task files do not refresh it), so the window must outlast the
+    * longest believable single job — a full-table compact at 100 TB can
+    * run for hours-to-days, and deleting ITS staging mid-run would abort
+    * it. Staging is transient and small next to the data it produces;
+    * reclaiming it a week late costs nothing.
     */
-  def sweepStaleStaging(graceMs: Long = 24L * 3600 * 1000): Unit = {
+  def sweepStaleStaging(graceMs: Long = 7L * 24 * 3600 * 1000): Unit = {
     val dir = new Path(rootPath, "_staging")
     if (!fs.exists(dir)) return
     val cutoff = System.currentTimeMillis() - graceMs
