@@ -274,7 +274,6 @@ final class ChangeJournal(
       fileNode
     }
     io.fs.delete(staging, true)
-    io.sweepStaleStaging() // crashed peers' leftovers only, never in-flight
 
     val newNext = next ++ byPartition.map { case (p, chunks) =>
       p -> (chunks.map(_.getLong(4)).max + 1L)
@@ -371,6 +370,9 @@ final class ChangeJournal(
       io.writeAtomic(tombstoneWatermarkPath, s"""{"manifestsBelow":$ckpt}""")
     }
     reapPending(graceMs)
+    // crashed peers' abandoned staging reclaims at maintenance cadence,
+    // not per-append — off the commit hot path (CommitProtocolBench)
+    io.sweepStaleStaging()
     dead.size
   }
 

@@ -657,7 +657,6 @@ final class LakeTable(
       }
     }.flatten
     io.fs.delete(staging, true)
-    io.sweepStaleStaging() // crashed peers' leftovers only, never in-flight
     mark("promote")
 
     val newWm = wm ++ statRows.map { case (p, maxOff, _, _, _) => p -> maxOff }
@@ -1042,6 +1041,10 @@ final class LakeTable(
     }
     if (keepFrom > horizon) // O(keepLast) future walks, not O(lifetime)
       io.writeAtomic(horizonPath, keepFrom.toString)
+    // crashed peers' abandoned staging reclaims at maintenance cadence,
+    // not per-merge: the sweep's listStatus belongs with the other GC
+    // passes, off the commit hot path (measured: CommitProtocolBench)
+    io.sweepStaleStaging()
     (dataDeleted, manifestsDeleted)
   }
 

@@ -145,7 +145,10 @@ object RenameCommitStore extends CommitStore {
     val q = io.fs.makeQualified(dest.getParent).toString
     val lock = casLocks.computeIfAbsent(q, _ => new Object)
     lock.synchronized {
-      if (io.fs.exists(dest)) return false
+      // no exists() pre-check: the no-overwrite rename is the authority
+      // (throws FileAlreadyExists on both HDFS and local FileContext), and
+      // the commit path pays for every metadata RPC here (measured:
+      // CommitProtocolBench)
       val tmp = new Path(dest.getParent, dest.getName +
         s".tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}")
       try {
