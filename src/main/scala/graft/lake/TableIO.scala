@@ -194,15 +194,16 @@ object RenameCommitStore extends CommitStore {
           scala.util.Try(n.drop(prefix.length).toLong).toOption
         else None
       }
+      // list-and-catch / read-and-catch, not exists-then-act: each probe
+      // is one metadata RPC the commit path pays every swap
+      // (CommitProtocolBench), and the catch closes the probe→act TOCTOU
       val markers: Seq[(Path, Long)] =
-        if (io.fs.exists(casDir))
-          io.fs.listStatus(casDir).toSeq.map(_.getPath)
-            .flatMap(p => markerVersion(p).map(p -> _))
-        else Nil
+        try io.fs.listStatus(casDir).toSeq.map(_.getPath)
+          .flatMap(p => markerVersion(p).map(p -> _))
+        catch { case _: java.io.FileNotFoundException => Nil }
       def destVersion(): Long =
-        if (io.fs.exists(dest))
-          Json.parse(io.readString(dest)).get("version").asLong
-        else -1L
+        try Json.parse(io.readString(dest)).get("version").asLong
+        catch { case _: java.io.FileNotFoundException => -1L }
       // Publish `content` (version v) only if dest is still BEHIND v,
       // re-reading immediately before the PUT: in-JVM callers are
       // serialized by casLocks, but a peer PROCESS may have published a
@@ -301,7 +302,9 @@ final class TableIO(val root: String, spark: SparkSession,
   }
 
   def writeString(p: Path, s: String): Unit = {
-    fs.mkdirs(p.getParent)
+    // no mkdirs: FileSystem.create makes parents (Hadoop contract, all
+    // impls here), and the commit path pays 3 writeStrings per commit —
+    // the redundant mkdirs was one metadata RPC each (CommitProtocolBench)
     val out = fs.create(p, true)
     try out.write(s.getBytes(StandardCharsets.UTF_8))
     finally out.close()
@@ -367,7 +370,11 @@ final class TableIO(val root: String, spark: SparkSession,
     * case (S3Writer.java:101-107).
     */
   def readSnapshot(): Option[com.fasterxml.jackson.databind.JsonNode] =
-    if (fs.exists(snapshotPath)) Some(Json.parse(readString(snapshotPath))) else None
+    // read-and-catch, not exists-then-read: one RPC instead of two on the
+    // per-commit plan-coherence check, and no TOCTOU between the probe and
+    // the open (a concurrent first commit between them read as a crash)
+    try Some(Json.parse(readString(snapshotPath)))
+    catch { case _: java.io.FileNotFoundException => None }
 
   /** The plan-coherence guard at the door of every commit — ONE
     * implementation for both tables (the protocol's most safety-critical
