@@ -561,4 +561,28 @@ class ReliabilitySpec extends AnyFunSuite {
       .select(col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
     assert(got.exceptAll(wantBoth).isEmpty && wantBoth.exceptAll(got).isEmpty)
   }
+
+  test("staging sweep honors the grace window and stays off the commit hot path") {
+    val root = SparkTestSession.tempDir("sweeplake")
+    val lake = new LakeTable(root, spark, subBuckets = 2)
+    // a crashed peer's abandoned staging (mtime past the 7-day grace) next
+    // to a live peer's fresh in-flight staging
+    val stale = new java.io.File(root, "_staging/merge-deadapp-42")
+    val fresh = new java.io.File(root, "_staging/merge-liveapp-43")
+    assert(stale.mkdirs() && fresh.mkdirs())
+    assert(new java.io.File(stale, "part-crashed.parquet").createNewFile())
+    assert(stale.setLastModified(System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+
+    // commits must NOT sweep — the listStatus was measured off the hot path
+    // (CommitProtocolBench; the sweep belongs with the maintenance GC passes)
+    lake.merge(ChangeGen.changes(spark, 200, nKeys = 40, partitions = 2), 0L)
+    assert(stale.exists, "merge must not pay the staging sweep")
+    assert(fresh.exists)
+
+    // maintenance reclaims only the entry past grace: a live writer's
+    // in-flight staging must never be deleted out from under its promote
+    lake.vacuum()
+    assert(!stale.exists, "vacuum reclaims abandoned staging past the grace window")
+    assert(fresh.exists, "young staging survives the sweep (in-flight peer)")
+  }
 }
