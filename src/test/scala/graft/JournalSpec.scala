@@ -329,4 +329,27 @@ class JournalSpec extends AnyFunSuite {
     val got = j.read().select("partition", "offset", "content").orderBy("partition", "offset")
     assert(src.exceptAll(got).isEmpty && got.exceptAll(src).isEmpty)
   }
+
+  test("append does not sweep staging; retention truncate reclaims past grace") {
+    val root = SparkTestSession.tempDir("jsweep")
+    val j = new ChangeJournal(root, spark, 4096)
+    val changes = ChangeGen.changes(spark, 200, nKeys = 40, partitions = 2)
+    // a crashed peer's abandoned staging (past the 7-day grace) and a live
+    // peer's fresh in-flight one
+    val stale = new java.io.File(root, "_staging/append-deadapp-7")
+    val fresh = new java.io.File(root, "_staging/append-liveapp-8")
+    assert(stale.mkdirs() && fresh.mkdirs())
+    assert(new java.io.File(stale, "part-crashed.parquet").createNewFile())
+    assert(stale.setLastModified(System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+
+    // the append hot path must not pay the sweep's listStatus
+    // (CommitProtocolBench; it runs with the maintenance GC passes)
+    j.append(changes, 0L)
+    assert(stale.exists, "append must not sweep staging")
+    assert(fresh.exists)
+
+    j.truncate(Map(0 -> 0L, 1 -> 0L))
+    assert(!stale.exists, "truncate reclaims abandoned staging past the grace window")
+    assert(fresh.exists, "young staging survives the sweep (in-flight peer)")
+  }
 }
