@@ -562,6 +562,78 @@ class ReliabilitySpec extends AnyFunSuite {
     assert(got.exceptAll(wantBoth).isEmpty && wantBoth.exceptAll(got).isEmpty)
   }
 
+  test("soak: three writers racing one root under injected faults converge to the oracle") {
+    // The real multi-pipeline deployment shape: each writer owns its
+    // PARTITION and key space (Connect's one-task-per-partition model), the
+    // TABLE is shared — so commits race while data never does. Randomized
+    // (seeded) transient faults compose the retry ladder with the CAS
+    // protocol: losers re-plan on ConcurrentCommitException, exhausted
+    // retries replay the whole batch, and the offset gate + batch fence
+    // make every replay idempotent. The invariant is schedule-independent:
+    // the final table equals the LWW oracle of all nine batches.
+    val root = SparkTestSession.tempDir("cassoak")
+    val writers = 3
+    val batchesPerWriter = 3
+    def batch(w: Int, b: Int) =
+      ChangeGen.changes(spark, 120, nKeys = 24, partitions = 1,
+          seed = 100L * w + b, startOffset = b * 1000L)
+        .withColumn("partition", lit(w))
+        .withColumn("path", concat(lit(s"w$w/"), col("path")))
+    val rnd = new java.util.Random(42)
+    def maybeFault(): Unit = rnd.synchronized {
+      if (rnd.nextDouble() < 0.25)
+        throw new java.io.IOException("soak: injected transient fault")
+    }
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val replays = new AtomicInteger(0)
+    val lostRaces = new AtomicInteger(0)
+    withFault { _ => maybeFault() } {
+      val threads = (0 until writers).map { w =>
+        new Thread(() => {
+          try {
+            val lake = new LakeTable(root, spark, subBuckets = 2,
+              appId = s"soak-w$w")
+            for (b <- 0 until batchesPerWriter) {
+              var attempts = 0
+              var done = false
+              while (!done) {
+                attempts += 1
+                require(attempts <= 40, s"writer $w batch $b never converged")
+                try { lake.merge(batch(w, b), b.toLong); done = true }
+                catch {
+                  case _: graft.lake.ConcurrentCommitException =>
+                    lostRaces.incrementAndGet() // lost the CAS: re-plan
+                  case _: java.io.IOException =>
+                    replays.incrementAndGet() // retries exhausted: replay
+                }
+              }
+            }
+          } catch { case t: Throwable => errors.add(t) }
+        }, s"soak-w$w")
+      }
+      threads.foreach(_.start())
+      threads.foreach(_.join(300000))
+    }
+    assert(errors.isEmpty,
+      s"soak writers failed: ${errors.toArray.mkString("; ")}")
+    assert(lostRaces.get() >= 1,
+      "three writers on one root must actually have raced")
+    val all = (0 until writers).flatMap(w =>
+      (0 until batchesPerWriter).map(b => batch(w, b))).reduce(_ unionAll _)
+    val reader = new LakeTable(root, spark, subBuckets = 2, appId = "soak-r")
+    assert(reader.currentVersion >= (writers * batchesPerWriter - 1).toLong,
+      "every batch must have committed at least once")
+    val want = ChangeGen.oracleFinalState(all).select(col("partition"),
+      col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    def got() = reader.read().select(col("partition"),
+      col("repo"), col("path"), sha2(col("content"), 256).as("sha"))
+    assert(got().exceptAll(want).isEmpty && want.exceptAll(got()).isEmpty,
+      "final state must equal the LWW oracle regardless of schedule")
+    // maintenance next to the converged multi-writer history stays correct
+    reader.vacuum()
+    assert(got().exceptAll(want).isEmpty && want.exceptAll(got()).isEmpty)
+  }
+
   test("staging sweep honors the grace window and stays off the commit hot path") {
     val root = SparkTestSession.tempDir("sweeplake")
     val lake = new LakeTable(root, spark, subBuckets = 2)
