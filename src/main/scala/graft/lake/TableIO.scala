@@ -500,20 +500,34 @@ final class TableIO(val root: String, spark: SparkSession,
     * under single-writer exclusivity (it would nuke a concurrent writer's
     * in-flight promote sources mid-batch).
     *
-    * The default grace is 7 DAYS, deliberately far above the data-file
-    * orphan grace: the staging dir's top-level mtime is set at write START
-    * (nested task files do not refresh it), so the window must outlast the
-    * longest believable single job — a full-table compact at 100 TB can
-    * run for hours-to-days, and deleting ITS staging mid-run would abort
-    * it. Staging is transient and small next to the data it produces;
-    * reclaiming it a week late costs nothing.
+    * An entry's age is the NEWEST DESCENDANT FILE, never the top-level
+    * directory mtime: object stores have no real directories (an S3A
+    * fake-dir prefix reports mtime 0 or probe time — trusting it would
+    * either reclaim a live peer's in-flight staging or never reclaim at
+    * all), and a long-running job that is still writing keeps its staging
+    * alive file by file, so the grace window no longer needs to outlast
+    * the longest believable job. Unknown age (no files, no trustworthy
+    * mtime) never reclaims. Staging is transient and small next to the
+    * data it produces; reclaiming it a week late costs nothing, and the
+    * per-entry recursive listing runs at maintenance cadence, not on the
+    * commit path (CommitProtocolBench).
     */
   def sweepStaleStaging(graceMs: Long = 7L * 24 * 3600 * 1000): Unit = {
     val dir = new Path(rootPath, "_staging")
-    if (!fs.exists(dir)) return
+    val entries =
+      try fs.listStatus(dir)
+      catch { case _: java.io.FileNotFoundException => return }
     val cutoff = System.currentTimeMillis() - graceMs
-    fs.listStatus(dir).foreach { st =>
-      if (st.getModificationTime < cutoff)
+    entries.foreach { st =>
+      var newest = math.max(0L, st.getModificationTime)
+      try {
+        val it = fs.listFiles(st.getPath, true)
+        while (it.hasNext)
+          newest = math.max(newest, it.next().getModificationTime)
+      } catch { // the owner's own cleanup raced the walk: nothing to reclaim
+        case _: java.io.FileNotFoundException => newest = Long.MaxValue
+      }
+      if (newest > 0 && newest < cutoff)
         try fs.delete(st.getPath, true): Unit catch { case _: Throwable => () }
     }
   }

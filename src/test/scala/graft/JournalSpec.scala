@@ -339,8 +339,10 @@ class JournalSpec extends AnyFunSuite {
     val stale = new java.io.File(root, "_staging/append-deadapp-7")
     val fresh = new java.io.File(root, "_staging/append-liveapp-8")
     assert(stale.mkdirs() && fresh.mkdirs())
-    assert(new java.io.File(stale, "part-crashed.parquet").createNewFile())
-    assert(stale.setLastModified(System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    val staleFile = new java.io.File(stale, "part-crashed.parquet")
+    assert(staleFile.createNewFile())
+    val past = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
+    assert(staleFile.setLastModified(past) && stale.setLastModified(past))
 
     // the append hot path must not pay the sweep's listStatus
     // (CommitProtocolBench; it runs with the maintenance GC passes)

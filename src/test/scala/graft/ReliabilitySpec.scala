@@ -637,13 +637,20 @@ class ReliabilitySpec extends AnyFunSuite {
   test("staging sweep honors the grace window and stays off the commit hot path") {
     val root = SparkTestSession.tempDir("sweeplake")
     val lake = new LakeTable(root, spark, subBuckets = 2)
-    // a crashed peer's abandoned staging (mtime past the 7-day grace) next
-    // to a live peer's fresh in-flight staging
+    // a crashed peer's abandoned staging (newest file past the 7-day
+    // grace), a live peer's fresh staging, and a long-running job whose
+    // staging dir is OLD but which is still writing (fresh file) — aged by
+    // the newest descendant file, only the first may reclaim
+    val past = System.currentTimeMillis() - 8L * 24 * 3600 * 1000
     val stale = new java.io.File(root, "_staging/merge-deadapp-42")
     val fresh = new java.io.File(root, "_staging/merge-liveapp-43")
-    assert(stale.mkdirs() && fresh.mkdirs())
-    assert(new java.io.File(stale, "part-crashed.parquet").createNewFile())
-    assert(stale.setLastModified(System.currentTimeMillis() - 8L * 24 * 3600 * 1000))
+    val slow = new java.io.File(root, "_staging/compact-slowapp-44")
+    assert(stale.mkdirs() && fresh.mkdirs() && slow.mkdirs())
+    val staleFile = new java.io.File(stale, "part-crashed.parquet")
+    assert(staleFile.createNewFile())
+    assert(staleFile.setLastModified(past) && stale.setLastModified(past))
+    assert(new java.io.File(slow, "part-inflight.parquet").createNewFile())
+    assert(slow.setLastModified(past)) // dir old, file fresh: still writing
 
     // commits must NOT sweep — the listStatus was measured off the hot path
     // (CommitProtocolBench; the sweep belongs with the maintenance GC passes)
@@ -656,5 +663,7 @@ class ReliabilitySpec extends AnyFunSuite {
     lake.vacuum()
     assert(!stale.exists, "vacuum reclaims abandoned staging past the grace window")
     assert(fresh.exists, "young staging survives the sweep (in-flight peer)")
+    assert(slow.exists,
+      "a still-writing job's staging survives: age = newest file, not dir mtime")
   }
 }
