@@ -226,7 +226,8 @@ final class ChangeJournal(
       .select((dataCols.map(col) :+ col("partition").as("_p")).toIndexedSeq: _*)
       .repartition(col("_p"))
       .sortWithinPartitions(col("_p"), col("offset"))
-      .write.mode("overwrite").partitionBy("_p").parquet(staging.toString)
+      .write.mode("overwrite").partitionBy("_p")
+      .option("compression", TableIO.dataCodec).parquet(staging.toString)
 
     // promote each partition's single part file to its offset-keyed name
     val byPartition = chunkStats.groupBy(_.getInt(0))

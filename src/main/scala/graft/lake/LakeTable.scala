@@ -560,6 +560,7 @@ final class LakeTable(
       LakeTable.planHook("merge-write", toWrite)
       toWrite
         .write.mode("overwrite").partitionBy("_pp", "_ss")
+        .option("compression", TableIO.dataCodec)
         .parquet(staging.toString)
     } catch {
       case t: Throwable =>
@@ -1123,6 +1124,7 @@ final class LakeTable(
       .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
       .drop("_sub")
       .write.mode("overwrite").partitionBy("_pp", "_ss")
+      .option("compression", TableIO.dataCodec)
       .parquet(staging.toString)
     val entries = (for {
       pDir <- io.fs.listStatus(staging).toSeq

@@ -21,6 +21,23 @@ object TableIO {
     * object-store failure. Production never touches it.
     */
   @volatile private[graft] var faultHook: String => Unit = _ => ()
+
+  private val knownCodecs = Set("snappy", "zstd", "lz4", "gzip", "uncompressed")
+
+  /** Parquet codec for DATA files (`graft.lake.codec`, default zstd).
+    * A 100-TB lever: storage cost and scan IO trade against write CPU.
+    * Measured on the full pipeline shape (CodecBench, BENCH/BASELINE.md
+    * r07): zstd stores 43% fewer bytes than snappy at indistinguishable
+    * ingest and scan time — on an object store those bytes are also the
+    * transfer and request cost, so zstd dominates. Manifests and snapshots
+    * are tiny JSON and unaffected.
+    */
+  private[lake] def dataCodec: String = {
+    val c = sys.props.getOrElse("graft.lake.codec", "zstd").toLowerCase
+    require(knownCodecs(c),
+      s"graft.lake.codec must be one of ${knownCodecs.mkString(", ")}; got '$c'")
+    c
+  }
 }
 
 /** A conditional snapshot publish lost its compare-and-swap: another writer
