@@ -536,7 +536,11 @@ final class TableIO(val root: String, spark: SparkSession,
       catch { case _: java.io.FileNotFoundException => return }
     val cutoff = System.currentTimeMillis() - graceMs
     entries.foreach { st =>
-      var newest = math.max(0L, st.getModificationTime)
+      // files are the SOLE age authority when any exist: folding in a
+      // fake-dir mtime that reports probe time would read as forever-fresh
+      // and the entry would never reclaim. The top-level mtime is only the
+      // fallback for a file-less entry (real dirs on local/HDFS).
+      var newest = 0L
       try {
         val it = fs.listFiles(st.getPath, true)
         while (it.hasNext)
@@ -544,6 +548,7 @@ final class TableIO(val root: String, spark: SparkSession,
       } catch { // the owner's own cleanup raced the walk: nothing to reclaim
         case _: java.io.FileNotFoundException => newest = Long.MaxValue
       }
+      if (newest == 0L) newest = math.max(0L, st.getModificationTime)
       if (newest > 0 && newest < cutoff)
         try fs.delete(st.getPath, true): Unit catch { case _: Throwable => () }
     }
