@@ -27,6 +27,13 @@ object MicroBench {
     val cpus = sys.env.get("SPARK_GRAFT_CPUS").map(_.toInt).getOrElse(32)
     sys.env.get("GRAFT_MERGE_STATS")
       .foreach(v => System.setProperty("graft.merge.stats", v))
+    // pin the DATA codec to the session codec pinned below: the r5-vs-r7
+    // bytecode A/B compiles this file against both trees, and the r7 tree's
+    // .option("compression", TableIO.dataCodec) default (zstd) would
+    // override the session conf — confounding the seam measurement with the
+    // codec change (ADVICE r7). GRAFT_CODEC overrides for codec studies.
+    System.setProperty("graft.lake.codec",
+      sys.env.getOrElse("GRAFT_CODEC", "snappy"))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

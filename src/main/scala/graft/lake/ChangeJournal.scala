@@ -12,7 +12,7 @@ import scala.jdk.CollectionConverters._
 /** The chunked, offset-keyed change journal — the Spark-native port of the
   * reference sink's storage trio (SURVEY.md §1.3):
   *
-  *   - data file per (partition, append): `data/part-{p:05d}-{firstOffset:012d}.parquet`
+  *   - data file per (partition, append): `data/part-{p:05d}-{appId}-{firstOffset:012d}.parquet`
   *     ↔ `{topic}-{partition:05d}-{firstOffset:012d}.gz`
   *     (BlockGZIPFileWriter.java:161-163; zero-padded fixed width so
   *     lexicographic = numeric order, load-bearing in the reference's
@@ -36,6 +36,12 @@ final class ChangeJournal(
     val checkpointEvery: Int = 16,
     commitStore: CommitStore = RenameCommitStore) {
   require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
+  // appId is interpolated into durable relative paths (data files, staging
+  // dirs) and into the CAS protocol's identity: a '/', '=' or whitespace
+  // would silently change the layout (nested dirs under data/ break the
+  // sweep's name comparisons), so fail loudly at construction (ADVICE r7)
+  require(appId.matches("[A-Za-z0-9._-]+"),
+    s"appId must match [A-Za-z0-9._-]+ (it names durable paths); got '$appId'")
 
   private val io = new TableIO(root, spark, commitStore)
 
@@ -224,10 +230,15 @@ final class ChangeJournal(
     // row-group min/max stats their pruning power on resume reads
     fresh
       .select((dataCols.map(col) :+ col("partition").as("_p")).toIndexedSeq: _*)
-      .repartition(col("_p"))
+      // explicit count = touched partitions (capped by the session's tuned
+      // parallelism): one output FILE per partition, and AQE's byte-based
+      // coalescing would serialize them into one task (see LakeTable.merge)
+      .repartition(math.min(chunkStats.iterator.map(_.getInt(0)).toSet.size,
+        spark.sessionState.conf.numShufflePartitions).max(1), col("_p"))
       .sortWithinPartitions(col("_p"), col("offset"))
       .write.mode("overwrite").partitionBy("_p")
-      .option("compression", TableIO.dataCodec).parquet(staging.toString)
+      .option("compression", TableIO.dataCodec)
+      .options(TableIO.stagingWriteOptions).parquet(staging.toString)
 
     // promote each partition's single part file to its offset-keyed name
     val byPartition = chunkStats.groupBy(_.getInt(0))

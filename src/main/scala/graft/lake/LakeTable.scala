@@ -53,6 +53,13 @@ final class LakeTable(
     commitStore: CommitStore = RenameCommitStore) {
   require(checkpointEvery >= 1, "checkpointEvery must be >= 1")
   require(shardGroupSize >= 1, "shardGroupSize must be >= 1")
+  // appId names durable paths (data/part-...-$appId-..., _staging/merge-...,
+  // shards/...) and carries the CAS writer identity: reject anything that
+  // could nest directories or break the sweep/parse layout (ADVICE r7).
+  // Concurrent writers must use DISTINCT appIds — the no-collision story of
+  // staging and promoted names assumes it.
+  require(appId.matches("[A-Za-z0-9._-]+"),
+    s"appId must match [A-Za-z0-9._-]+ (it names durable paths); got '$appId'")
 
   private val io = new TableIO(root, spark, commitStore)
 
@@ -531,7 +538,20 @@ final class LakeTable(
         case Some(st) => newShaped.unionByName(
           shape(st.withColumn("op", lit("upsert"))).withColumn("_new", lit(0)))
       }
-      val mcols = unioned.columns.filter(_ != "_new")
+      // max_by carries a struct buffer, which HashAggregateExec's fixed-width
+      // mutable buffer cannot hold — the LWW reduce is a SortAggregate, fed
+      // by one sort on (partition, _sub, repo, path). That order is EXACTLY
+      // the clustered-write order, so the group keys stay grouping
+      // ATTRIBUTES (only the payload rides the max_by struct): the
+      // aggregate's output ordering then survives alias-aware through the
+      // projections below and the explicit write sort is removed as
+      // redundant (RemoveRedundantSorts) — ONE sort for the whole merge
+      // write instead of two full sorts of the merged payload (measured +
+      // plan-verified, plans/r08/eng_cdc_merge_write_*.txt). Taking the
+      // keys from the grouping side is value-identical: a group's winner
+      // carries the group's own key by definition.
+      val groupCols = Seq("partition", "_sub", "repo", "path")
+      val mcols = unioned.columns.filter(c => c != "_new" && !groupCols.contains(c))
       // NOTE the union order above: the BATCH-derived side is the LEFT
       // operand, so the written dataset keeps the batch's SparkSession. In
       // streaming foreachBatch the batch rides a cloned session while state
@@ -540,19 +560,36 @@ final class LakeTable(
       // sessionUUID) — with state on the left, the stats observation above
       // would never complete (measured: every streaming merge with non-empty
       // state starved until the 30s fallback).
+      // Explicit partition count, derived from the work's own shape (the
+      // touched-bucket count, capped by the session's tuned shuffle
+      // parallelism) rather than left to AQE: the reduce side of this
+      // exchange ends in one parquet FILE per touched bucket, and AQE's
+      // byte-based advisory coalescing — blind to per-file open/close/
+      // footer cost — collapses a small batch's shuffle to one task that
+      // writes every bucket file serially (measured: the dominant slice of
+      // merge/write at gate scale). min(touched, shuffle.partitions) is
+      // scale-adaptive in both directions: small batches parallelize by
+      // bucket, huge touched sets still respect the cluster-tuned cap.
+      val writeParts = math.min(touched.size,
+        spark.sessionState.conf.numShufflePartitions).max(1)
       val merged0 = unioned
-        .repartition(col("partition"), col("_sub"))
+        .repartition(writeParts, col("partition"), col("_sub"))
         .groupBy(col("partition"), col("_sub"), col("repo"), col("path"))
         .agg(max_by(struct(mcols.map(col).toIndexedSeq: _*),
           struct(col("_new"), col("offset"))).as("_m"))
-        .select(col("_m.*"))
+        .select(unioned.columns.filter(_ != "_new").map(c =>
+          if (groupCols.contains(c)) col(c) else col(s"_m.$c")).toIndexedSeq: _*)
       val survivors = merged0.filter(col("op") === "upsert").drop("op")
 
       // rewrite each touched bucket as exactly one deterministically named file;
       // `_pp`/`_ss` duplicate the keys for the directory layout only (files stay
       // self-contained — partitionBy strips its columns from file contents).
       // sort prefix (_pp, _ss) satisfies the dynamic-partition write's required
-      // ordering — without it FileFormatWriter inserts its own sort on top
+      // ordering — without it FileFormatWriter would insert its own UNSTABLE
+      // prefix-only sort (nondeterministic bytes on retry). The full
+      // (_pp, _ss, repo, path) key keeps retried batches byte-identical and
+      // the sort itself is ELIMINATED at physical planning whenever the
+      // aggregate's ordering reaches here (see groupCols above).
       val toWrite = survivors
         .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
         .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
@@ -561,6 +598,7 @@ final class LakeTable(
       toWrite
         .write.mode("overwrite").partitionBy("_pp", "_ss")
         .option("compression", TableIO.dataCodec)
+        .options(TableIO.stagingWriteOptions)
         .parquet(staging.toString)
     } catch {
       case t: Throwable =>
@@ -1117,14 +1155,23 @@ final class LakeTable(
     val version = plannedVersion + 1
     val staging = new Path(io.rootPath, s"_staging/compact-$appId-$version")
     io.fs.delete(staging, true)
-    readFiles(filesOf(m), ss)
+    val live = filesOf(m)
+    // same explicit-parallelism rule as the merge write: one file per
+    // (partition, sub) bucket comes out of this exchange, so derive the
+    // partition count from the post-compaction bucket count instead of
+    // letting AQE's byte heuristic serialize the file writes
+    val compactParts = math.min(
+      live.map(_.partition).distinct.size.toLong * newSubBuckets,
+      spark.sessionState.conf.numShufflePartitions.toLong).max(1L).toInt
+    readFiles(live, ss)
       .withColumn("_sub", subExpr(newSubBuckets))
-      .repartition(col("partition"), col("_sub"))
+      .repartition(compactParts, col("partition"), col("_sub"))
       .withColumn("_pp", col("partition")).withColumn("_ss", col("_sub"))
       .sortWithinPartitions(col("_pp"), col("_ss"), col("repo"), col("path"))
       .drop("_sub")
       .write.mode("overwrite").partitionBy("_pp", "_ss")
       .option("compression", TableIO.dataCodec)
+      .options(TableIO.stagingWriteOptions)
       .parquet(staging.toString)
     val entries = (for {
       pDir <- io.fs.listStatus(staging).toSeq

@@ -24,6 +24,23 @@ object TableIO {
 
   private val knownCodecs = Set("snappy", "zstd", "lz4", "gzip", "uncompressed")
 
+  /** Write-time Hadoop overrides for the engine's STAGING parquet writes
+    * (merge/append/compact). These dirs are consumed solely by our own
+    * promote protocol, which re-wipes staging on any retry and requires
+    * exactly one part file per bucket dir — so the committer can take the
+    * fast path: no `_SUCCESS` marker (one create per write saved) and
+    * algorithm v2 (tasks publish straight into the staging dir at task
+    * commit instead of a second driver-side merge-rename pass over every
+    * file at job commit — with one file per touched bucket that pass was
+    * O(touched buckets) serial renames per batch, and on an object store
+    * each one is a copy). v1's extra safety only protects readers of the
+    * job's output dir from partially-committed jobs, which our staged →
+    * promote → CAS pipeline never exposes.
+    */
+  private[graft] val stagingWriteOptions: Map[String, String] = Map(
+    "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false",
+    "mapreduce.fileoutputcommitter.algorithm.version" -> "2")
+
   /** Parquet codec for DATA files (`graft.lake.codec`, default zstd).
     * A 100-TB lever: storage cost and scan IO trade against write CPU.
     * Measured on the full pipeline shape (CodecBench, BENCH/BASELINE.md
@@ -147,6 +164,11 @@ object RenameCommitStore extends CommitStore {
   private val casLocks =
     new java.util.concurrent.ConcurrentHashMap[String, Object]()
 
+  /** CAS markers retained below the published version (see the GC note in
+    * [[putIfVersion]]): the roll-forward repair needs a surviving marker.
+    */
+  private[lake] val markerRetain = 8L
+
   /** Exclusive create: complete tmp + no-overwrite rename (same primitive
     * as the CAS markers below — atomic on HDFS, JVM-lock-backstopped on a
     * raw local fs). A crash mid-write leaves only an unreferenced tmp, so
@@ -214,10 +236,11 @@ object RenameCommitStore extends CommitStore {
       // list-and-catch / read-and-catch, not exists-then-act: each probe
       // is one metadata RPC the commit path pays every swap
       // (CommitProtocolBench), and the catch closes the probe→act TOCTOU
-      val markers: Seq[(Path, Long)] =
+      def listMarkers(): Seq[(Path, Long)] =
         try io.fs.listStatus(casDir).toSeq.map(_.getPath)
           .flatMap(p => markerVersion(p).map(p -> _))
         catch { case _: java.io.FileNotFoundException => Nil }
+      val markers = listMarkers()
       def destVersion(): Long =
         try Json.parse(io.readString(dest)).get("version").asLong
         catch { case _: java.io.FileNotFoundException => -1L }
@@ -227,13 +250,27 @@ object RenameCommitStore extends CommitStore {
       // newer version since our listing — an unconditional PUT here could
       // move the pointer BACKWARD (violating the snapshot-only-moves-
       // forward contract readers rely on). The re-read shrinks that TOCTOU
-      // window to the read→PUT gap; a regression that still slips through
-      // self-heals on the next putIfVersion (the newer marker outlives its
-      // publish until the version after it commits). True cross-process
+      // window to the read→PUT gap, and a regression that still slips
+      // through is repaired IMMEDIATELY after the PUT: the newer version's
+      // marker is retained (markerRetain below keeps the last K, so a
+      // delayed PUT can no longer outlive its repair source — the r7
+      // ADVICE sticky-regression mode), and the newest marker above the
+      // re-read pointer is rolled forward on the spot. The repair's own
+      // read→PUT gap shrinks the window again by the same argument; any
+      // residue self-heals at the next putIfVersion. True cross-process
       // serialization needs a store-level conditional PUT — exactly what
       // an object-store CommitStore supplies.
       def publishIfBehind(v: Long, c: String): Unit =
-        if (destVersion() < v) putAtomic(io, dest, c)
+        if (destVersion() < v) {
+          putAtomic(io, dest, c)
+          val cur2 = destVersion()
+          listMarkers().filter(_._2 > cur2).sortBy(_._2).lastOption.foreach {
+            case (p, mv) =>
+              val mc = try Some(io.readString(p))
+                       catch { case _: java.io.FileNotFoundException => None }
+              mc.foreach(c2 => if (destVersion() < mv) putAtomic(io, dest, c2))
+          }
+        }
       var cur = destVersion()
       // roll forward the highest committed-but-unpublished marker
       markers.filter(_._2 > cur).sortBy(_._2).lastOption.foreach {
@@ -263,9 +300,17 @@ object RenameCommitStore extends CommitStore {
       // too (a peer that rolled our marker forward and committed v+1 must
       // not be regressed by our own delayed PUT)
       publishIfBehind(v, content)
-      markers.filter(_._2 <= expected).foreach { case (p, _) =>
-        try io.fs.delete(p, false): Unit catch { case _: Throwable => () }
-      }
+      // GC only markers OLDER than the last `markerRetain` versions, never
+      // everything at or below `expected`: a retained marker is the repair
+      // source for publishIfBehind's post-PUT roll-forward — GC'ing at the
+      // published version made a sufficiently delayed peer PUT a STICKY
+      // pointer regression with nothing left to heal from (r7 ADVICE).
+      // K small files of retention cost nothing; the sweep stays one
+      // already-listed pass.
+      markers.filter(_._2 <= expected - RenameCommitStore.markerRetain)
+        .foreach { case (p, _) =>
+          try io.fs.delete(p, false): Unit catch { case _: Throwable => () }
+        }
       true
     }
   }
@@ -530,11 +575,28 @@ final class TableIO(val root: String, spark: SparkSession,
     * commit path (CommitProtocolBench).
     */
   def sweepStaleStaging(graceMs: Long = 7L * 24 * 3600 * 1000): Unit = {
+    // crashed writers also leak `*.tmp-{pid}-{nanos}` files from the
+    // atomic-publish primitives (putAtomic / putIfAbsent / the CAS marker
+    // claim) in _cas/ and next to their destinations at the root; nothing
+    // referenced them, and until r8 nothing ever reclaimed them (ADVICE r7:
+    // unbounded residue across crashes). Same grace window, same
+    // maintenance cadence — a live writer's in-flight tmp is always
+    // younger than its own publish.
+    val cutoff = System.currentTimeMillis() - graceMs
+    Seq(rootPath, new Path(rootPath, "_cas")).foreach { d =>
+      val listed =
+        try fs.listStatus(d)
+        catch { case _: java.io.FileNotFoundException => Array.empty[org.apache.hadoop.fs.FileStatus] }
+      listed.foreach { st =>
+        if (st.isFile && st.getPath.getName.matches(""".*\.tmp-\d+-\d+""") &&
+            st.getModificationTime < cutoff)
+          try fs.delete(st.getPath, false): Unit catch { case _: Throwable => () }
+      }
+    }
     val dir = new Path(rootPath, "_staging")
     val entries =
       try fs.listStatus(dir)
       catch { case _: java.io.FileNotFoundException => return }
-    val cutoff = System.currentTimeMillis() - graceMs
     entries.foreach { st =>
       // files are the SOLE age authority when any exist: folding in a
       // fake-dir mtime that reports probe time would read as forever-fresh

@@ -21,16 +21,27 @@ object TextQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
 
-  /** distinct 3-word shingles per doc: (doc_id, shingle) */
+  /** distinct 3-word shingles per doc: (doc_id, shingle).
+    *
+    * Dedup is PER DOC (a shingle never repeats across doc_ids here, since
+    * doc_id rides every row), so it runs as `array_distinct` on the per-doc
+    * shingle array BEFORE the explode — a map-side operation — instead of a
+    * row-level `.distinct()`, which was a full (doc_id, shingle) exchange of
+    * every shingle string. For the aggregate consumers (minhash min()s) the
+    * optimizer used to eliminate that distinct anyway (min is duplicate-
+    * insensitive); the MATERIALIZING consumer (txt_ngram_jaccard's staged
+    * shingle table) actually paid it — now no consumer shuffles raw
+    * shingle text at all (guide §2.3: don't shuffle heavy strings to dedup
+    * what a per-row array op can dedup).
+    */
   private def shingles(s: SparkSession, dir: String): DataFrame =
     docs(s, dir)
       .select(col("doc_id"), split(trim(col("text")), "\\s+").as("w"))
       .filter(size(col("w")) >= 3)
-      .select(col("doc_id"), explode(expr(
+      .select(col("doc_id"), explode(array_distinct(expr(
         "transform(sequence(1, size(w) - 2), " +
-          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))"))
+          "i -> concat_ws(' ', element_at(w, i), element_at(w, i + 1), element_at(w, i + 2)))")))
         .as("shingle"))
-      .distinct()
 
   /** Mersenne prime 2^31-1: the modulus of the 2-universal hash family. */
   private val M31 = 2147483647L
@@ -189,11 +200,15 @@ object TextQueries {
             .as("jaccard_nano"))
     },
 
-    // SimHash (16-bit) over distinct words
+    // SimHash (16-bit) over distinct words. Dedup is per doc, so it runs as
+    // a map-side array_distinct before the explode instead of a row-level
+    // .distinct() — the sum() votes are duplicate-SENSITIVE, so unlike the
+    // minhash path the optimizer could never eliminate that exchange itself
+    // (it shuffled every word string once just to dedup within doc_id).
     "txt_simhash" -> { (s, dir) =>
       val words = docs(s, dir)
-        .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("word"))
-        .distinct()
+        .select(col("doc_id"),
+          explode(array_distinct(split(trim(col("text")), "\\s+"))).as("word"))
       val sign = (j: Int) => when(
         pmod(graft.functions.Portable.md5Long(concat(lit(s"$j#"), col("word"))), lit(2L)) === 0,
         lit(1L)).otherwise(lit(-1L))

@@ -381,9 +381,21 @@ object GzArchive {
     val jobTag = java.util.UUID.randomUUID().toString
     val written = spark.sparkContext
       .collectionAccumulator[(String, Int, Long, Long)]("gzarchive-written")
+    // NO second exchange: the offset window above already shuffled the
+    // payload once, hash-clustered by (topic, partition) and — by WindowExec's
+    // own required ordering — sorted by (topic, partition, _sort) within each
+    // task. `_aoff` is the row_number over that exact order and `_file`
+    // is monotone in `_aoff`, so every task already iterates contiguous
+    // (topic, partition, _file) runs in ascending `_aoff` order — precisely
+    // what the writer loop below needs. The previous
+    // `repartition(topic, partition, _file) + sortWithinPartitions` moved
+    // every payload byte through a SECOND full shuffle and sort only to
+    // re-establish a clustering the first exchange already guarantees
+    // (guide §2.4/§8: heavy bytes cross the wire once). Parallelism is one
+    // task per hash bucket of (topic, partition) — the Kafka-shaped
+    // per-partition writer the reference runs anyway; a backfill that needs
+    // finer fan-out can pre-split its input partitions upstream.
     assigned
-      .repartition(col("topic"), col("partition"), col("_file"))
-      .sortWithinPartitions(col("topic"), col("partition"), col("_file"), col("_aoff"))
       .foreachPartition { rows: Iterator[Row] =>
         val fs = new Path(root).getFileSystem(conf.value.value)
         val attempt = Option(TaskContext.get()).map(_.taskAttemptId()).getOrElse(0L)
