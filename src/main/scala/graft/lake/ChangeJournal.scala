@@ -181,13 +181,12 @@ final class ChangeJournal(
       .getOrElse(batch.schema)
 
     val next = nextOffsets()
-    val parts = batch.sparkSession.createDataFrame(
-      next.toSeq.map { case (p, o) => (p, o) })
-      .toDF("partition", "_next")
 
-    // offset-skip gate (P2): drop rows the journal already has
-    val fresh0 = batch.join(broadcast(parts), Seq("partition"), "left")
-      .filter(col("_next").isNull || col("offset") >= col("_next"))
+    // offset-skip gate (P2): drop rows the journal already has — an
+    // O(1)-per-row literal lookup, not a broadcast join (the join shipped a
+    // fresh broadcast per job: the chunk-stats pass AND the data write);
+    // rationale in LakeTable.offsetGate
+    val fresh0 = LakeTable.offsetGate(batch, next, strict = false)
 
     // deterministic chunk assignment; chunks restart per file (= per append
     // per partition), exactly like the reference where every flushed .gz file
@@ -199,7 +198,7 @@ final class ChangeJournal(
     // extra memory-bandwidth pass that measured slower and scaled worse
     // than the recompute on the scaling bench (same finding as
     // LakeTable.merge). Recompute is safe: sources are deterministic.
-    val fresh = Chunker.assignChunks(fresh0.drop("_next"), chunkBytes)
+    val fresh = Chunker.assignChunks(fresh0, chunkBytes)
 
     // per-file (= per partition per append) and per-chunk stats, one pass
     val chunkStats = fresh.groupBy(col("partition"), col("chunk_id")).agg(
@@ -605,13 +604,11 @@ final class ChangeJournal(
     // mergeSchema: appends may add payload columns over time (additive only;
     // type widening is the lake table's job, which tracks schema versions)
     val df = spark.read.option("mergeSchema", "true").parquet(pathsAbs: _*)
+    // residual row filter as the O(1) literal gate (LakeTable.offsetGate):
+    // no broadcast join in the resume-read plan, and the predicate stays in
+    // the scan's own stage
     if (committed.isEmpty) df
-    else {
-      val cm = spark.createDataFrame(committed.toSeq).toDF("partition", "_committed")
-      df.join(broadcast(cm), Seq("partition"), "left")
-        .filter(col("_committed").isNull || col("offset") > col("_committed"))
-        .drop("_committed")
-    }
+    else LakeTable.offsetGate(df, committed, strict = true)
   }
 
   /** Manifest chunk descriptors as a DataFrame (for tests and metrics). */

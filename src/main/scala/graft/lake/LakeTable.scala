@@ -329,12 +329,9 @@ final class LakeTable(
     }
 
     val wm = watermarks()
-    val deduped0 = if (wm.isEmpty) batch else {
-      val wmDf = spark.createDataFrame(wm.toSeq).toDF("partition", "_wm")
-      batch.join(broadcast(wmDf), Seq("partition"), "left")
-        .filter(col("_wm").isNull || col("offset") > col("_wm"))
-        .drop("_wm")
-    }
+    // watermark dedup as an O(1)-per-row literal lookup, not a broadcast
+    // join — see LakeTable.offsetGate
+    val deduped0 = LakeTable.offsetGate(batch, wm, strict = true)
     // The batch is scanned twice (lineage stats + LWW reduce) but NOT
     // persisted: the stats pass prunes to 4 small columns (a fraction of a
     // columnar scan), while a persist would materialize EVERY column into
@@ -1268,6 +1265,50 @@ object LakeTable {
     val fileSizeFloorCap = math.floor(perPartition / minBucketFileBytes).toLong
     math.max(1L, math.min(byTarget, fileSizeFloorCap))
       .min(Int.MaxValue.toLong).toInt
+  }
+
+  /** The per-partition offset gate (watermark dedup / resume skip) as a
+    * single O(1)-per-row codegen expression instead of a broadcast join.
+    *
+    * The gate is a lookup against a map bounded by the topic's PARTITION
+    * COUNT, not data volume — yet as a join it built and shipped a fresh
+    * broadcast relation per JOB (broadcasts don't reuse across a merge's
+    * stats and write jobs), a driver round-trip per batch for a four-row
+    * table, plus a BroadcastExchange+Join in every plan. Partitions are
+    * small non-negative ints (Kafka-shaped), so the common case is a DENSE
+    * ARRAY literal indexed by `partition` — `element_at` on an array is a
+    * constant-time load (a MAP literal's GetMapValue would be a per-row
+    * linear probe). Rows with a partition outside the array (or beyond a
+    * degenerate 64k bound) fall back to, respectively, the coalesce
+    * identity (no watermark ⇒ admit: offsets are non-negative, so
+    * Long.MinValue is the identity) and the original broadcast join.
+    *
+    * `strict` selects `>` (merge watermark: admit strictly newer) vs `>=`
+    * (journal next-offset: admit at or past the next expected).
+    */
+  private[graft] def offsetGate(batch: DataFrame, gate: Map[Int, Long],
+      strict: Boolean): DataFrame = {
+    if (gate.isEmpty) return batch
+    val maxP = gate.keys.max
+    if (gate.keys.min >= 0 && maxP < 65536) {
+      val arr = IndexedSeq.tabulate(maxP + 1)(p =>
+        gate.getOrElse(p, Long.MinValue))
+      // try_element_at, not element_at: 1-based, and out-of-range must
+      // yield null (-> the admit identity) rather than throw under ANSI
+      // mode (Spark 4 default) — a partition first appearing mid-stream
+      // (eng_partition_expand) indexes past the previous watermark array
+      val g = coalesce(try_element_at(typedlit(arr), col("partition") + 1),
+        lit(Long.MinValue))
+      batch.filter(if (strict) col("offset") > g else col("offset") >= g)
+    } else {
+      val gDf = batch.sparkSession.createDataFrame(gate.toSeq)
+        .toDF("partition", "_gate")
+      batch.join(broadcast(gDf), Seq("partition"), "left")
+        .filter(col("_gate").isNull ||
+          (if (strict) col("offset") > col("_gate")
+           else col("offset") >= col("_gate")))
+        .drop("_gate")
+    }
   }
 
   /** Audit seam: receives the merge's final write frame just before its

@@ -547,4 +547,43 @@ class LakeSpec extends AnyFunSuite {
     val merged = SchemaEvolution.merge(cur, in)
     assert(merged("score").nullable, "absent-in-batch column must be nullable")
   }
+
+  // r8: the per-partition offset gate became an O(1) array-literal lookup
+  // (LakeTable.offsetGate) instead of a broadcast join — pin its semantics
+  // against the join formulation across the shapes that differ: gated vs
+  // ungated partitions, a partition ABOVE the array bound (mid-stream
+  // expansion), boundary offsets under strict (>) and non-strict (>=), and
+  // the sparse-key fallback path.
+  test("offsetGate literal lookup equals the join formulation") {
+    import org.apache.spark.sql.DataFrame
+    val rows = Seq(
+      (0, 0L), (0, 10L), (0, 11L), // gated at 10
+      (1, 5L), (1, 6L),            // gated at 6 (boundary)
+      (2, 99L),                    // ungated partition inside the array
+      (7, 3L))                     // partition past the gate map entirely
+    val batch = spark.createDataFrame(rows).toDF("partition", "offset")
+    val gate = Map(0 -> 10L, 1 -> 6L)
+    def joinGate(df: DataFrame, g: Map[Int, Long], strict: Boolean): DataFrame = {
+      val gDf = broadcast(spark.createDataFrame(g.toSeq).toDF("partition", "_g"))
+      df.join(gDf, Seq("partition"), "left")
+        .filter(col("_g").isNull ||
+          (if (strict) col("offset") > col("_g") else col("offset") >= col("_g")))
+        .drop("_g")
+    }
+    def rowsOf(df: DataFrame): Set[(Int, Long)] =
+      df.collect().map(r => (r.getInt(0), r.getLong(1))).toSet
+    for (strict <- Seq(true, false)) {
+      val got = rowsOf(LakeTable.offsetGate(batch, gate, strict))
+      val want = rowsOf(joinGate(batch, gate, strict))
+      assert(got === want, s"strict=$strict: literal gate diverged from join")
+    }
+    assert(rowsOf(LakeTable.offsetGate(batch, gate, strict = true)) ===
+      Set((0, 11L), (2, 99L), (7, 3L)),
+      "strict gate: only strictly-newer and ungated rows survive")
+    // sparse keys force the broadcast-join fallback; same semantics
+    val sparse = Map(0 -> 10L, 1000000 -> 5L)
+    assert(rowsOf(LakeTable.offsetGate(batch, sparse, strict = true)) ===
+      rowsOf(joinGate(batch, sparse, strict = true)),
+      "sparse-key fallback diverged from join")
+  }
 }
