@@ -118,10 +118,12 @@ object ExplainAudit {
           "Exchange on (partition, _sub) serves the LWW max_by, the " +
           "state-vs-batch preference AND the bucket-clustered write; the " +
           "state scan is file-pruned to touched buckets before this plan " +
-          "runs. The plan is the frame handed to the parquet write " +
-          "(FileFormatWriter adds no further exchange: the " +
-          "sortWithinPartitions prefix satisfies the dynamic-partition " +
-          "write's required ordering).")
+          "runs. Since r8 the plan also carries ONE sort and ZERO " +
+          "broadcasts: the SortAggregate's grouping order reaches the " +
+          "writer (the explicit write sort is planning-eliminated and " +
+          "FileFormatWriter adds neither sort nor exchange), and the " +
+          "watermark gate is an O(1) array-literal lookup instead of a " +
+          "broadcast join (LakeTable.offsetGate).")
     }
 
     java.nio.file.Files.writeString(java.nio.file.Paths.get("PLANS.md"),

@@ -91,9 +91,12 @@ final class ChangeJournal(
         .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
   }
 
+  // read-and-catch, not exists-then-read (one RPC per chain step; see
+  // LakeTable.manifestAt)
   private def manifestAt(version: Long): Option[JsonNode] = {
     val p = new Path(io.rootPath, f"manifest-$version%012d.json")
-    if (io.fs.exists(p)) Some(Json.parse(io.readString(p))) else None
+    try Some(Json.parse(io.readString(p)))
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** A delta manifest records only this commit's change: `added` (an
@@ -399,13 +402,13 @@ final class ChangeJournal(
     * already-handled versions, which dedup + idempotent reap absorb.
     */
   private def tombstoneWatermark(): Option[Long] =
-    if (!io.fs.exists(tombstoneWatermarkPath)) None
-    // ANY unreadable state (torn file on a non-atomic-rename fs, missing
-    // field, foreign content) degrades to the root-listing path — which
-    // self-heals: the next truncate rewrites the file. A throw here would
-    // fail every retention pass (and, wired into CdcPipeline's cadence,
-    // the streaming query itself) until someone hand-deletes the file.
-    else try Option(Json.parse(io.readString(tombstoneWatermarkPath))
+    // read-and-catch (one RPC, no probe). ANY unreadable state — absent
+    // file, torn file on a non-atomic-rename fs, missing field, foreign
+    // content — degrades to the root-listing path, which self-heals: the
+    // next truncate rewrites the file. A throw here would fail every
+    // retention pass (and, wired into CdcPipeline's cadence, the streaming
+    // query itself) until someone hand-deletes the file.
+    try Option(Json.parse(io.readString(tombstoneWatermarkPath))
       .get("manifestsBelow")).map(_.asLong)
     catch { case scala.util.control.NonFatal(_) => None }
 

@@ -117,9 +117,14 @@ final class LakeTable(
     }
   }
 
+  // read-and-catch, not exists-then-read: one RPC instead of two on every
+  // chain-resolution step (this runs per delta on each liveFiles cache
+  // miss and throughout vacuum), and no TOCTOU against a concurrent vacuum
+  // deleting the manifest between the probe and the open
   private def manifestAt(version: Long): Option[JsonNode] = {
     val p = new Path(io.rootPath, f"manifest-$version%012d.json")
-    if (io.fs.exists(p)) Some(Json.parse(io.readString(p))) else None
+    try Some(Json.parse(io.readString(p)))
+    catch { case _: java.io.FileNotFoundException => None }
   }
 
   /** Per-partition max applied offset (the dedup gate / resume point). */
@@ -807,8 +812,10 @@ final class LakeTable(
 
   private def listShardRels(): Set[String] = {
     val d = new Path(io.rootPath, "shards")
-    if (!io.fs.exists(d)) Set.empty
-    else io.fs.listStatus(d).map(s => s"shards/${s.getPath.getName}").toSet
+    // list-and-catch: this runs on the checkpoint-commit path (writeShards
+    // + verifyShards), where the exists probe was a pure extra RPC
+    try io.fs.listStatus(d).map(s => s"shards/${s.getPath.getName}").toSet
+    catch { case _: java.io.FileNotFoundException => Set.empty }
   }
 
   private def writeFreshShard(version: Long, fs: Seq[FileEntry]): String = {
@@ -1132,8 +1139,9 @@ final class LakeTable(
   /** Oldest snapshot version that may still exist (everything below was
     * vacuumed). Bounds lineage()/vacuum() walks to O(retained versions).
     */
-  private def gcHorizon: Long =
-    if (io.fs.exists(horizonPath)) io.readString(horizonPath).trim.toLong else 0L
+  private def gcHorizon: Long = // read-and-catch: one RPC, no TOCTOU
+    try io.readString(horizonPath).trim.toLong
+    catch { case _: java.io.FileNotFoundException => 0L }
 
   /** Re-bucket the table to a new sub-bucket count — the rewrite-
     * amplification knob turned at runtime: more buckets = smaller COW
