@@ -55,7 +55,7 @@ object DumpPlansR08 {
       .withColumn("_file", col("_aoff") - pmod(col("_aoff"), lit(5000L)))
       .select(col("topic"), col("partition"), col("_file"), col("_aoff"), col("payload"))
     put("cdc_gz_archive_write_frame", fmt(assigned))
-    put("cdc_gz_archive_write_frame_with_repartition", fmt(assigned
+    put("cdc_gz_archive_write_frame_before_r7shape", fmt(assigned
       .repartition(col("topic"), col("partition"), col("_file"))
       .sortWithinPartitions(col("topic"), col("partition"), col("_file"), col("_aoff"))))
     spark.stop()

@@ -68,13 +68,19 @@ final class ChangeJournal(
   // version, not once per accessor)
   @volatile private var manifestCache: Option[(Long, JsonNode)] = None
 
-  private def manifest(): Option[JsonNode] = io.readSnapshot().map { snap =>
-    val v = snap.get("version").asLong
+  private def manifest(): Option[JsonNode] = manifestOf(io.readSnapshot())
+
+  /** manifest of a SPECIFIC snapshot node — the plan-consistency primitive
+    * (see LakeTable.manifestOf): append/commit read the snapshot once and
+    * derive every plan input from that node.
+    */
+  private def manifestOf(snap: Option[JsonNode]): Option[JsonNode] = snap.map { s =>
+    val v = s.get("version").asLong
     manifestCache match {
       case Some((cv, m)) if cv == v => m
       case _ =>
         val m = Json.parse(
-          io.readString(new Path(io.rootPath, snap.get("manifest").asText)))
+          io.readString(new Path(io.rootPath, s.get("manifest").asText)))
         manifestCache = Some((v, m))
         m
     }
@@ -133,15 +139,16 @@ final class ChangeJournal(
   // invalidates the cache for free)
   @volatile private var filesCache: Option[(Long, Seq[JsonNode])] = None
 
-  private def liveFiles(): Seq[JsonNode] = io.readSnapshot() match {
+  private def liveFiles(): Seq[JsonNode] = liveFilesOf(io.readSnapshot())
+
+  private def liveFilesOf(snap: Option[JsonNode]): Seq[JsonNode] = snap match {
     case None => Seq.empty
-    case Some(snap) =>
-      val v = snap.get("version").asLong
+    case Some(s) =>
+      val v = s.get("version").asLong
       filesCache match {
         case Some((cv, fs)) if cv == v => fs
         case _ =>
-          val fs = filesOf(Json.parse(
-            io.readString(new Path(io.rootPath, snap.get("manifest").asText))))
+          val fs = filesOf(manifestOf(snap).get)
           filesCache = Some((v, fs))
           fs
       }
@@ -166,24 +173,36 @@ final class ChangeJournal(
     require(required.forall(batch.columns.contains),
       s"change batch must carry ${required.mkString(",")}; got ${batch.columns.mkString(",")}")
 
-    if (isReplay(batchId)) return 0L // fenced replay: already durable
+    // ONE snapshot read pins the whole plan (fence, CAS baseline, previous
+    // schema, resume offsets) — see LakeTable.merge / manifestOf for why
+    // per-accessor re-reads are both a plan-consistency race next to a
+    // concurrent writer and wasted metadata RPCs
+    val snap0 = io.readSnapshot()
+    val sameApp = snap0.flatMap(s => Option(s.get("appId")).map(_.asText))
+      .getOrElse(appId) == appId
+    if (sameApp && batchId <= snap0.map(_.get("batchId").asLong).getOrElse(-1L))
+      return 0L // fenced replay: already durable
 
-    // CAS baseline: every read below (previous schema, resume offsets, the
-    // offset-skip gate) plans against this version — see LakeTable.merge
-    val plannedVersion = currentVersion
+    // CAS baseline: every read below plans against this version
+    val plannedVersion = snap0.map(_.get("version").asLong).getOrElse(-1L)
+    val m0 = manifestOf(snap0)
 
     // the journal's current schema is KNOWN at every commit (this batch's
     // columns merged additively over the previous manifest's schema), so
     // persist it — a caught-up reader must not have to open parquet footers
     // to learn it (that scan grows O(total journal files) with history)
-    val mergedSchema = manifest()
+    val mergedSchema = m0
       .flatMap(m => Option(m.get("schema")).map(_.asText))
       .map(s => org.apache.spark.sql.types.DataType.fromJson(s)
         .asInstanceOf[org.apache.spark.sql.types.StructType])
       .map(prev => SchemaEvolution.merge(prev, batch.schema))
       .getOrElse(batch.schema)
 
-    val next = nextOffsets()
+    val next = m0 match {
+      case None => Map.empty[Int, Long]
+      case Some(m) => m.get("partitions").properties().asScala
+        .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
+    }
 
     // offset-skip gate (P2): drop rows the journal already has — an
     // O(1)-per-row literal lookup, not a broadcast join (the join shipped a
@@ -242,7 +261,11 @@ final class ChangeJournal(
       .option("compression", TableIO.dataCodec)
       .options(TableIO.stagingWriteOptions).parquet(staging.toString)
 
-    // promote each partition's single part file to its offset-keyed name
+    // promote each partition's single part file to its offset-keyed name —
+    // located by ONE recursive staging listing (no per-partition
+    // exists/listStatus probes; see TableIO.listStagedParts)
+    val stagedParts = io.listStagedParts(staging)
+    io.fs.mkdirs(new Path(io.rootPath, "data"))
     val byPartition = chunkStats.groupBy(_.getInt(0))
     var appended = 0L
     val newFiles = byPartition.toSeq.sortBy(_._1).map { case (p, chunks) =>
@@ -254,7 +277,10 @@ final class ChangeJournal(
       // would otherwise overwrite a committed, manifest-referenced file
       // before its own commit loses the CAS
       val rel = f"data/part-$p%05d-$appId-$firstOffset%012d.parquet"
-      io.promoteSingleFile(new Path(staging, s"_p=$p"), new Path(io.rootPath, rel))
+      val src = stagedParts.getOrElse(s"_p=$p", throw new IllegalStateException(
+        s"journal append staged no file for partition $p (stats saw rows) — " +
+          "batch source must be deterministic across scans"))
+      io.promoteListedFile(src, new Path(io.rootPath, rel))
       // The write evaluated the batch a second time (no persist): the
       // parquet footer must agree with the stats pass's row count, else the
       // source violated the determinism precondition and the manifest's
@@ -330,13 +356,22 @@ final class ChangeJournal(
     */
   def truncate(watermarks: Map[Int, Long],
       graceMs: Long = 24L * 3600 * 1000): Int = {
-    val plannedVersion = currentVersion // CAS baseline: the partition below
-    val (dead, kept) = liveFiles().partition { f =>
+    // one pinned snapshot for the whole pass (see LakeTable.merge)
+    val snap0 = io.readSnapshot()
+    val plannedVersion = snap0.map(_.get("version").asLong).getOrElse(-1L)
+    val (dead, kept) = liveFilesOf(snap0).partition { f =>
       watermarks.get(f.get("partition").asInt)
         .exists(w => f.get("max_offset").asLong <= w)
     }
     if (dead.nonEmpty) {
-      commitManifest(Nil, nextOffsets(), lastBatchId, journalSchema(kept),
+      val m0 = manifestOf(snap0)
+      val next0 = m0 match {
+        case None => Map.empty[Int, Long]
+        case Some(m) => m.get("partitions").properties().asScala
+          .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
+      }
+      commitManifest(Nil, next0,
+        snap0.map(_.get("batchId").asLong).getOrElse(-1L), journalSchema(kept),
         plannedVersion, removed = dead.map(_.get("path").asText))
       // Manifests strictly below the NEW current checkpoint version are
       // unreachable from any live fold chain. Their names are DERIVED, not
@@ -533,14 +568,17 @@ final class ChangeJournal(
       removed: Seq[String] = Nil): Unit = {
     val prev = io.requirePlanCoherent(plannedVersion, "journal")
     val version = plannedVersion + 1
+    // pinned to `prev` (the coherence-checked node) — a peer committing
+    // right after the check must fail the claim/CAS, not leak its state
+    // into this commit's bookkeeping (see LakeTable.commit)
     val prevCkpt = prev.map { _ =>
-      val pm = manifest().get
+      val pm = manifestOf(prev).get
       Option(pm.get("checkpointVersion")).map(_.asLong)
         .getOrElse(pm.get("version").asLong)
     }
     val removedSet = removed.toSet
-    val base = if (removedSet.isEmpty) liveFiles()
-               else liveFiles().filterNot(f => removedSet(f.get("path").asText))
+    val base = if (removedSet.isEmpty) liveFilesOf(prev)
+               else liveFilesOf(prev).filterNot(f => removedSet(f.get("path").asText))
     val resolved = base ++ added
     val writeFull = prev.isEmpty || version - prevCkpt.get >= checkpointEvery
     val m = Json.obj()

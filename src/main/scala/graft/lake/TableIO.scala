@@ -535,23 +535,60 @@ final class TableIO(val root: String, spark: SparkSession,
 
   def exists(rel: String): Boolean = fs.exists(new Path(rootPath, rel))
 
-  /** Move the single parquet part-file Spark wrote under `srcDir` to the
-    * deterministic, offset-keyed destination name. Deterministic names are
-    * load-bearing: re-running a batch overwrites the same keys instead of
-    * appending, which is the reference's whole dedup story
-    * (offset-named S3 keys, BlockGZIPFileWriter.java:161-163).
+  /** ONE recursive listing of a staged write tree → relative bucket dir
+    * (e.g. `_pp=3/_ss=7`, or `_p=2` for the journal) → that dir's single
+    * part file. Replaces the per-bucket exists + listStatus probes the
+    * promote loop used to pay — O(touched buckets) metadata round-trips per
+    * batch collapse into one paged LIST on an object store. Exactly-one
+    * part file per bucket dir is REQUIRED here (same invariant the old
+    * per-dir listing enforced): a second part would mean the write lost its
+    * one-task-per-bucket clustering.
     */
-  def promoteSingleFile(srcDir: Path, dest: Path): Unit = retry("promote") {
-    val parts = fs.listStatus(srcDir).filter(_.getPath.getName.startsWith("part-"))
-    if (parts.isEmpty && fs.exists(dest)) {
-      // a previous attempt's publish already consumed the staged file
-      // (failure happened after the move) — the retry is a no-op, the
-      // destination is complete
-    } else {
-      require(parts.length == 1,
-        s"expected exactly one part file in $srcDir, got ${parts.length}")
-      fs.mkdirs(dest.getParent)
-      store.publishFile(this, parts.head.getPath, dest)
+  def listStagedParts(staging: Path): Map[String, Path] = {
+    val base = fs.makeQualified(staging).toString
+    val out = scala.collection.mutable.HashMap.empty[String, Path]
+    val it =
+      try fs.listFiles(staging, true)
+      catch { case _: java.io.FileNotFoundException =>
+        return Map.empty
+      }
+    while (it.hasNext) {
+      val st = it.next()
+      val p = st.getPath
+      if (p.getName.startsWith("part-") &&
+          !p.toString.contains("/_temporary/")) {
+        val parent = fs.makeQualified(p.getParent).toString
+        require(parent.startsWith(base),
+          s"staged part $p resolved outside $staging")
+        val rel = parent.drop(base.length).stripPrefix("/")
+        require(!out.contains(rel),
+          s"expected exactly one part file under $staging/$rel, found more")
+        out(rel) = p
+      }
+    }
+    out.toMap
+  }
+
+  /** Publish a staged part file (already located by [[listStagedParts]] —
+    * no per-file probes) at its deterministic, offset-keyed destination
+    * name. Deterministic names are load-bearing: re-running a batch
+    * overwrites the same keys instead of appending, which is the
+    * reference's whole dedup story (offset-named S3 keys,
+    * BlockGZIPFileWriter.java:161-163). The caller creates `dest`'s parent
+    * dir ONCE per batch, not per file. A RETRY that finds the source gone
+    * and the destination present treats the previous attempt's publish as
+    * complete (failure hit after the move) — the old per-dir listing's
+    * no-op case, reached here only on the failure path where the extra
+    * probes are free.
+    */
+  def promoteListedFile(src: Path, dest: Path): Unit = {
+    var attempt = 0
+    retry("promote") {
+      attempt += 1
+      if (attempt > 1 && !fs.exists(src)) {
+        if (!fs.exists(dest)) throw new java.io.IOException(
+          s"staged $src vanished mid-promote and $dest is absent")
+      } else store.publishFile(this, src, dest)
     }
   }
 
