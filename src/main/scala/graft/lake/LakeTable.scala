@@ -695,7 +695,9 @@ final class LakeTable(
     // shape paid a per-level listStatus sweep plus an exists + listStatus
     // per touched bucket, O(touched) metadata round-trips per batch on an
     // object store. Loud failure beats silent corruption.
+    val tP0 = System.nanoTime()
     val stagedParts = io.listStagedParts(staging)
+    val tP1 = System.nanoTime()
     val staged = stagedParts.keys.toSeq.flatMap { rel =>
       val m = LakeTable.stagedBucketRe.findFirstMatchIn(rel)
       require(m.isDefined, s"unrecognized staged path $rel under $staging")
@@ -729,7 +731,13 @@ final class LakeTable(
         FileEntry(p, s, rel, schemaId, io.parquetRowCount(dest))
       } // None = bucket emptied by deletes
     }.flatten
+    val tP2 = System.nanoTime()
     io.fs.delete(staging, true)
+    val tP3 = System.nanoTime()
+    if (sys.env.contains("GRAFT_PROMOTE_TIMING")) System.err.println(
+      f"[promote-detail] list=${(tP1 - tP0) / 1e3}%.0fus " +
+        f"fanout=${(tP2 - tP1) / 1e3}%.0fus del=${(tP3 - tP2) / 1e3}%.0fus " +
+        f"n=${stagedParts.size}")
     mark("promote")
 
     val newWm = wm ++ statRows.map { case (p, maxOff, _, _, _) => p -> maxOff }

@@ -545,27 +545,36 @@ final class TableIO(val root: String, spark: SparkSession,
     * one-task-per-bucket clustering.
     */
   def listStagedParts(staging: Path): Map[String, Path] = {
+    // plain listStatus recursion over the (two-level) staging tree, NOT
+    // FileSystem.listFiles(recursive=true): the generic recursive iterator
+    // materializes LocatedFileStatus — block locations per file — and
+    // measured ~230 ms per merge batch on a 32-bucket local tree vs ~5 ms
+    // for this walk (the exact regression the promote-phase counter
+    // caught). An object-store backend would implement this seam as one
+    // flat prefix LIST; the structural point — one sweep, no per-bucket
+    // probes — is what the promote callers rely on.
     val base = fs.makeQualified(staging).toString
     val out = scala.collection.mutable.HashMap.empty[String, Path]
-    val it =
-      try fs.listFiles(staging, true)
-      catch { case _: java.io.FileNotFoundException =>
-        return Map.empty
-      }
-    while (it.hasNext) {
-      val st = it.next()
-      val p = st.getPath
-      if (p.getName.startsWith("part-") &&
-          !p.toString.contains("/_temporary/")) {
-        val parent = fs.makeQualified(p.getParent).toString
-        require(parent.startsWith(base),
-          s"staged part $p resolved outside $staging")
-        val rel = parent.drop(base.length).stripPrefix("/")
-        require(!out.contains(rel),
-          s"expected exactly one part file under $staging/$rel, found more")
-        out(rel) = p
+    def walk(dir: Path): Unit = {
+      val entries =
+        try fs.listStatus(dir)
+        catch { case _: java.io.FileNotFoundException => return }
+      entries.foreach { st =>
+        val p = st.getPath
+        if (st.isDirectory) {
+          if (p.getName != "_temporary") walk(p)
+        } else if (p.getName.startsWith("part-")) {
+          val parent = fs.makeQualified(p.getParent).toString
+          require(parent.startsWith(base),
+            s"staged part $p resolved outside $staging")
+          val rel = parent.drop(base.length).stripPrefix("/")
+          require(!out.contains(rel),
+            s"expected exactly one part file under $staging/$rel, found more")
+          out(rel) = p
+        }
       }
     }
+    walk(staging)
     out.toMap
   }
 
