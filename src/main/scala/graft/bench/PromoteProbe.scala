@@ -16,11 +16,11 @@ object PromoteProbe {
     val df = spark.range(0, 10000)
       .select((col("id") % 4).cast("int").as("_pp"),
         (col("id") % 8).cast("int").as("_ss"), col("id"))
+    // the engine's own staging committer options: the probe must measure
+    // the exact promote path the merge write uses
     df.repartition(32, col("_pp"), col("_ss"))
       .write.mode("overwrite").partitionBy("_pp", "_ss")
-      .options(Map(
-        "mapreduce.fileoutputcommitter.marksuccessfuljobs" -> "false",
-        "mapreduce.fileoutputcommitter.algorithm.version" -> "2"))
+      .options(graft.lake.TableIO.stagingWriteOptions)
       .parquet(staging.toString)
     def t[A](tag: String)(body: => A): A = {
       val t0 = System.nanoTime(); val r = body

@@ -53,15 +53,15 @@ final class ChangeJournal(
   private def currentVersion: Long =
     io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
 
-  /** Same writer AND batch id at or below committed (see LakeTable.isReplay:
-    * a new appId's restarted numbering must not be swallowed as replays —
-    * the offset gate still dedups its rows).
+  /** Replay fence against a PINNED snapshot (see LakeTable.isReplayOf):
+    * same writer AND batch id at or below committed — a new appId's
+    * restarted numbering must not be swallowed as replays; the offset gate
+    * still dedups its rows.
     */
-  private def isReplay(batchId: Long): Boolean = {
-    val sameApp = io.readSnapshot()
-      .flatMap(s => Option(s.get("appId")).map(_.asText)).getOrElse(appId) == appId
-    sameApp && batchId <= lastBatchId
-  }
+  private def isReplayOf(snap: Option[JsonNode], batchId: Long): Boolean =
+    snap.flatMap(s => Option(s.get("appId")).map(_.asText))
+      .getOrElse(appId) == appId &&
+      batchId <= snap.map(_.get("batchId").asLong).getOrElse(-1L)
 
   // current-manifest cache keyed by snapshot version (same rationale as
   // LakeTable: checkpoint manifests are O(history) JSON — parse once per
@@ -90,11 +90,16 @@ final class ChangeJournal(
     * (S3Writer.java:83-127): last chunk's `first_record_offset + num_records`;
     * missing table ⇒ empty map ⇒ 0 everywhere (the 404 case, :101-107).
     */
-  def nextOffsets(): Map[Int, Long] = manifest() match {
+  def nextOffsets(): Map[Int, Long] = nextOffsetsOf(manifest())
+
+  /** the manifest's partitions→nextOffset map — the ONE place that knows
+    * the `partitions` JSON shape (nextOffsets / append / truncate all
+    * route through it, each against its own pinned manifest)
+    */
+  private def nextOffsetsOf(m: Option[JsonNode]): Map[Int, Long] = m match {
     case None => Map.empty
-    case Some(m) =>
-      m.get("partitions").properties().asScala
-        .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
+    case Some(mm) => mm.get("partitions").properties().asScala
+      .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
   }
 
   // read-and-catch, not exists-then-read (one RPC per chain step; see
@@ -178,10 +183,7 @@ final class ChangeJournal(
     // per-accessor re-reads are both a plan-consistency race next to a
     // concurrent writer and wasted metadata RPCs
     val snap0 = io.readSnapshot()
-    val sameApp = snap0.flatMap(s => Option(s.get("appId")).map(_.asText))
-      .getOrElse(appId) == appId
-    if (sameApp && batchId <= snap0.map(_.get("batchId").asLong).getOrElse(-1L))
-      return 0L // fenced replay: already durable
+    if (isReplayOf(snap0, batchId)) return 0L // fenced replay: already durable
 
     // CAS baseline: every read below plans against this version
     val plannedVersion = snap0.map(_.get("version").asLong).getOrElse(-1L)
@@ -198,11 +200,7 @@ final class ChangeJournal(
       .map(prev => SchemaEvolution.merge(prev, batch.schema))
       .getOrElse(batch.schema)
 
-    val next = m0 match {
-      case None => Map.empty[Int, Long]
-      case Some(m) => m.get("partitions").properties().asScala
-        .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
-    }
+    val next = nextOffsetsOf(m0)
 
     // offset-skip gate (P2): drop rows the journal already has — an
     // O(1)-per-row literal lookup, not a broadcast join (the join shipped a
@@ -365,11 +363,7 @@ final class ChangeJournal(
     }
     if (dead.nonEmpty) {
       val m0 = manifestOf(snap0)
-      val next0 = m0 match {
-        case None => Map.empty[Int, Long]
-        case Some(m) => m.get("partitions").properties().asScala
-          .map(e => e.getKey.toInt -> e.getValue.get("nextOffset").asLong).toMap
-      }
+      val next0 = nextOffsetsOf(m0)
       commitManifest(Nil, next0,
         snap0.map(_.get("batchId").asLong).getOrElse(-1L), journalSchema(kept),
         plannedVersion, removed = dead.map(_.get("path").asText))

@@ -73,16 +73,16 @@ final class LakeTable(
 
   def lastBatchId: Long = io.readSnapshot().map(_.get("batchId").asLong).getOrElse(-1L)
 
-  /** appId of the last commit (missing on old manifests ⇒ same-app). */
-  private def lastAppId: String = io.readSnapshot()
-    .flatMap(s => Option(s.get("appId")).map(_.asText)).getOrElse(appId)
-
-  /** Replay fence: same writer identity AND a batch id at or below the
+  /** Replay fence against a PINNED snapshot (the batch's one snapshot read
+    * — see [[merge]]): same writer identity AND a batch id at or below the
     * committed one. A different appId is a new writer whose numbering
     * restarted — its data passes the fence and dedups on watermarks.
+    * Missing appId (old manifests) ⇒ same-app.
     */
-  private def isReplay(batchId: Long): Boolean =
-    lastAppId == appId && batchId <= lastBatchId
+  private def isReplayOf(snap: Option[JsonNode], batchId: Long): Boolean =
+    snap.flatMap(s => Option(s.get("appId")).map(_.asText))
+      .getOrElse(appId) == appId &&
+      batchId <= snap.map(_.get("batchId").asLong).getOrElse(-1L)
 
   def currentVersion: Long =
     io.readSnapshot().map(_.get("version").asLong).getOrElse(-1L)
@@ -339,10 +339,7 @@ final class LakeTable(
     // ConcurrentCommitException at the CAS. Also ~5 fewer snapshot reads
     // per batch on the commit path.
     val snap0 = io.readSnapshot()
-    val sameApp = snap0.flatMap(s => Option(s.get("appId")).map(_.asText))
-      .getOrElse(appId) == appId
-    if (sameApp && batchId <= snap0.map(_.get("batchId").asLong).getOrElse(-1L))
-      return -1L // epoch fence: replayed batch
+    if (isReplayOf(snap0, batchId)) return -1L // epoch fence: replayed batch
     // CAS baseline = the version this batch PLANS against. Baselining any
     // later — e.g. a fresh read inside commit() — would let a concurrent
     // writer's commit land mid-merge and be silently clobbered by a plan
@@ -1363,11 +1360,21 @@ object LakeTable {
     if (gate.keys.min >= 0 && maxP < 65536) {
       val arr = IndexedSeq.tabulate(maxP + 1)(p =>
         gate.getOrElse(p, Long.MinValue))
-      // try_element_at, not element_at: 1-based, and out-of-range must
-      // yield null (-> the admit identity) rather than throw under ANSI
-      // mode (Spark 4 default) — a partition first appearing mid-stream
-      // (eng_partition_expand) indexes past the previous watermark array
-      val g = coalesce(try_element_at(typedlit(arr), col("partition") + 1),
+      // The lookup runs ONLY for partitions inside the array's domain
+      // (`when` guards branch evaluation): the gate map bounds only its own
+      // KEYS, not the data, and without the guard a row with partition -1
+      // would throw (element_at index 0 is invalid even in the `try_`
+      // variant), partition <= -2 would silently resolve FROM THE END of
+      // the array (gated against the wrong watermark — the join formulation
+      // ADMITTED unknown partitions), and Int.MaxValue would overflow in
+      // `partition + 1` under ANSI mode. Outside the domain the `when`
+      // yields null -> the coalesce admit identity, exactly the left join's
+      // null-gate behavior. try_element_at stays for the 1-based bound
+      // check; a partition first appearing mid-stream
+      // (eng_partition_expand) lands in the between() miss -> admit.
+      val g = coalesce(
+        when(col("partition").between(0, maxP),
+          try_element_at(typedlit(arr), col("partition") + 1)),
         lit(Long.MinValue))
       batch.filter(if (strict) col("offset") > g else col("offset") >= g)
     } else {

@@ -560,7 +560,13 @@ class LakeSpec extends AnyFunSuite {
       (0, 0L), (0, 10L), (0, 11L), // gated at 10
       (1, 5L), (1, 6L),            // gated at 6 (boundary)
       (2, 99L),                    // ungated partition inside the array
-      (7, 3L))                     // partition past the gate map entirely
+      (7, 3L),                     // partition past the gate map entirely
+      // out-of-domain partitions: the join formulation ADMITS them (left-
+      // join null gate), so the literal path must too — without its domain
+      // guard, -1 threw (element_at index 0), -2 silently resolved FROM THE
+      // END of the array (gated against partition maxP's watermark), and
+      // Int.MaxValue overflowed in `partition + 1` under ANSI mode
+      (-1, 4L), (-2, 0L), (Int.MaxValue, 1L))
     val batch = spark.createDataFrame(rows).toDF("partition", "offset")
     val gate = Map(0 -> 10L, 1 -> 6L)
     def joinGate(df: DataFrame, g: Map[Int, Long], strict: Boolean): DataFrame = {
@@ -578,8 +584,8 @@ class LakeSpec extends AnyFunSuite {
       assert(got === want, s"strict=$strict: literal gate diverged from join")
     }
     assert(rowsOf(LakeTable.offsetGate(batch, gate, strict = true)) ===
-      Set((0, 11L), (2, 99L), (7, 3L)),
-      "strict gate: only strictly-newer and ungated rows survive")
+      Set((0, 11L), (2, 99L), (7, 3L), (-1, 4L), (-2, 0L), (Int.MaxValue, 1L)),
+      "strict gate: only strictly-newer, ungated and out-of-domain rows survive")
     // sparse keys force the broadcast-join fallback; same semantics
     val sparse = Map(0 -> 10L, 1000000 -> 5L)
     assert(rowsOf(LakeTable.offsetGate(batch, sparse, strict = true)) ===
