@@ -1106,9 +1106,11 @@ final class LakeTable(
       }
       io.fs.delete(legacyArchivePath, false): Unit
     }
+    // delete-and-count, not exists-then-delete: FileSystem.delete already
+    // returns false for a missing path, so the probe was a second metadata
+    // RPC per doomed manifest (vacuum reaps O(retention) of them at once)
     val manifestsDeleted = (horizon until keepFrom).count { v =>
-      val p = new Path(io.rootPath, f"manifest-$v%012d.json")
-      io.fs.exists(p) && io.fs.delete(p, false)
+      io.fs.delete(new Path(io.rootPath, f"manifest-$v%012d.json"), false)
     }
     // Shard GC. Unlike data files, shards get NO immediate known-superseded
     // class: a concurrent writer's in-progress checkpoint commit may be
